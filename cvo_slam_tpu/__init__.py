@@ -1,0 +1,9 @@
+"""TPU-native RGB-D SLAM framework with the capabilities of bexilin/CVO-SLAM.
+
+Brand-new JAX/XLA/Pallas implementation: CVO dense registration frontend,
+keyframe/local-map tracking, pose-graph + BA backend, loop closure — designed
+TPU-first (dense masked pairwise kernels on the MXU, lax.while_loop solvers,
+fixed-capacity graphs, pjit/shard_map scale-out).
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,310 @@
+"""CVO registration engine: jitted align loop + host-side state machine.
+
+TPU-native re-expression of the reference `cvo::cvo` class
+(/root/reference/thirdparty/cvo/src/cvo.cpp, include/cvo.hpp:82-282):
+
+  * `align` (cvo.cpp:763-821) is a `lax.while_loop` carrying (R, T, ell, k)
+    with both stopping rules (flow norms < eps at :782; se3 distance < eps_2
+    at :804) and the exact ell anneal schedule (:810-812). ell is *not* reset
+    between alignments (cvo.cpp:383) — it lives in CvoState and carries over,
+    reproducing the reference quirk where the first <=3 iterations of every
+    alignment reuse the previous alignment's final ell.
+  * the kd-tree + sparse-matrix kernel passes are dense masked matmul ops
+    (ops.pairwise); reductions are deterministic.
+  * `compute_innerproduct` / `compute_innerproduct_lc` (cvo.cpp:475-561) and
+    the eigenvalue-floored Hessian (se3_Hessian, cvo.cpp:620-759) are jitted
+    wholesale.
+
+Host-side `Cvo` mirrors the reference state plumbing: fixed/moving/previous
+clouds, update_fixed_pcd (:578), update_previous_pcd (:584), reset_keyframe
+(:591-604), reset_transform (:606-609), reset_initial (:611-618).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CvoParams
+from ..ops import cubic, pairwise, se3
+from ..frontend.pointcloud import PointCloudHost
+
+
+class PointCloud(NamedTuple):
+    """Device-side fixed-capacity point cloud."""
+    positions: jnp.ndarray  # (CAP, 3) f32
+    features: jnp.ndarray   # (CAP, 5) f32
+    mask: jnp.ndarray       # (CAP,) bool
+
+    @staticmethod
+    def from_host(pc: PointCloudHost) -> "PointCloud":
+        return PointCloud(jnp.asarray(pc.positions), jnp.asarray(pc.features),
+                          jnp.asarray(pc.mask))
+
+
+class AlignResult(NamedTuple):
+    R: jnp.ndarray          # (3,3) internal state (transform = [R^T | -R^T T])
+    T: jnp.ndarray          # (3,)
+    transform: jnp.ndarray  # (4,4) the registration output
+    ell: jnp.ndarray        # annealed length-scale after the loop
+    iters: jnp.ndarray      # iteration count at break (MAX_ITER if exhausted)
+    nnz: jnp.ndarray        # A_nonzero of the last flow evaluation
+
+
+@partial(jax.jit, static_argnames=("p",))
+def align(fixed: PointCloud, moving: PointCloud, R0, T0, ell0,
+          p: CvoParams) -> AlignResult:
+    """RKHS-SE(3) gradient-flow registration (cvo.cpp:763-821)."""
+    x, fx, mx = fixed.positions, fixed.features, fixed.mask
+    y0, fy, my = moving.positions, moving.features, moving.mask
+
+    def body(carry):
+        k, R, T, ell, done, iters, nnz = carry
+        # update_tf (:106-110): transform = [R^T | -R^T T]; transform_pcd (:336)
+        Rt = R.T
+        Tt = -(Rt @ T)
+        y = y0 @ R + Tt[None, :]          # y0 @ (R^T)^T
+        omega, v, A, nnz_k = pairwise.flow(x, y, fx, fy, mx, my, ell, p)
+        B, C, D, E = pairwise.step_coeffs(x, y, A, omega, v, ell)
+        step = cubic.min_positive_root_or(4.0 * E, 3.0 * D, 2.0 * C, B,
+                                          p.min_step, p.max_step)
+        # stop 1: flow norms below eps (:782) — break before the pose update
+        stop1 = (jnp.linalg.norm(omega) < p.eps) & (jnp.linalg.norm(v) < p.eps)
+
+        dtrans = se3.exp_sek3(jnp.concatenate([omega, v]), step)
+        dR = dtrans[:3, :3]
+        dT = dtrans[:3, 3]
+        T_new = jnp.where(stop1, T, R @ dT + T)
+        R_new = jnp.where(stop1, R, R @ dR)
+        # stop 2: se3 distance of the increment below eps_2 (:804)
+        stop2 = (~stop1) & (se3.dist_se3(dR, dT) < p.eps_2)
+
+        done_new = stop1 | stop2
+        iters_new = jnp.where(done_new, k, iters)
+        # ell anneal (:810-812) — skipped on break (it follows the break)
+        ell_ann = jnp.where(k > p.ell_anneal_iters[0], p.ell_anneal_values[0], ell)
+        ell_ann = jnp.where(k > p.ell_anneal_iters[1], p.ell_anneal_values[1], ell_ann)
+        ell_ann = jnp.where(k > p.ell_anneal_iters[2], p.ell_anneal_values[2], ell_ann)
+        ell_new = jnp.where(done_new, ell, ell_ann)
+        return (k + 1, R_new, T_new, ell_new, done_new, iters_new, nnz_k)
+
+    def cond(carry):
+        k, _, _, _, done, _, _ = carry
+        return (k < p.max_iter) & (~done)
+
+    init = (jnp.array(0), jnp.asarray(R0, jnp.float32),
+            jnp.asarray(T0, jnp.float32), jnp.asarray(ell0, jnp.float32),
+            jnp.array(False), jnp.array(p.max_iter), jnp.array(0))
+    k, R, T, ell, done, iters, nnz = jax.lax.while_loop(cond, body, init)
+    transform = se3.make_pose(R.T, -(R.T @ T))   # final update_tf (:817)
+    return AlignResult(R, T, transform, ell, iters, nnz)
+
+
+# ---------------------------------------------------------------------------
+# Hessian post-processing (cvo.cpp:726-755)
+# ---------------------------------------------------------------------------
+
+def hessian_postprocess(H_raw, inliers, p: CvoParams):
+    """Scale by -1/1e5 then iteratively shift the spectrum until
+    min |eigenvalue| >= 1 (cvo.cpp:726-754); identity when no inliers."""
+    H = H_raw * p.hessian_scale
+    lam = jnp.linalg.eigvalsh(H)
+
+    def body(carry):
+        lam, total = carry
+        idx = jnp.argmin(jnp.abs(lam))
+        lam_min = lam[idx]
+        shift = 1.0 - lam_min
+        return lam + shift, total + shift
+
+    def cond(carry):
+        lam, _ = carry
+        return jnp.abs(lam[jnp.argmin(jnp.abs(lam))]) < p.hessian_min_abs_eig
+
+    # the shift loop converges in a handful of steps; guard with a cap by
+    # folding the count into the carry
+    def body_capped(carry):
+        lam, total, n = carry
+        lam2, total2 = body((lam, total))
+        return lam2, total2, n + 1
+
+    def cond_capped(carry):
+        lam, total, n = carry
+        return cond((lam, total)) & (n < 64)
+
+    _, total_shift, _ = jax.lax.while_loop(
+        cond_capped, body_capped, (lam, jnp.array(0.0, H.dtype), jnp.array(0)))
+    H = H + total_shift * jnp.eye(6, dtype=H.dtype)
+    return jnp.where(inliers > 0, H, jnp.eye(6, dtype=H.dtype))
+
+
+@partial(jax.jit, static_argnames=("p",))
+def compute_innerproduct(fixed: PointCloud, moving: PointCloud, tran, ell,
+                         p: CvoParams):
+    """Reference compute_innerproduct (cvo.cpp:475-503): inner products
+    before/after registration, self-norms, cos angle, and the post-Hessian.
+
+    Returns a dict of scalars plus the (6,6) post_hessian."""
+    x, fx, mx = fixed.positions, fixed.features, fixed.mask
+    y, fy, my = moving.positions, moving.features, moving.mask
+    yt = se3.transform_points(tran, y)
+
+    pre_v, pre_n = pairwise.inner_product(y, fy, my, x, fx, mx, ell, p)
+    post_v, post_n = pairwise.inner_product(yt, fy, my, x, fx, mx, ell, p)
+    fixed_v, fixed_n = pairwise.inner_product(x, fx, mx, x, fx, mx, ell, p)
+    moving_v, moving_n = pairwise.inner_product(y, fy, my, y, fy, my, ell, p)
+    cos_angle = post_v / (jnp.sqrt(fixed_v) * jnp.sqrt(moving_v))
+
+    H_raw, inliers = pairwise.se3_hessian_raw(yt, fy, my, x, fx, mx, ell, p)
+    post_hessian = hessian_postprocess(H_raw, inliers, p)
+    return dict(inn_pre=pre_v, inn_pre_num=pre_n, inn_post=post_v,
+                inn_post_num=post_n, inn_fixed=fixed_v, inn_moving=moving_v,
+                cos_angle=cos_angle, post_hessian=post_hessian,
+                inliers=inliers)
+
+
+@partial(jax.jit, static_argnames=("p",))
+def compute_innerproduct_lc(fixed: PointCloud, moving: PointCloud,
+                            prior_tran, lc_prior_tran, lc_prior_tran_2,
+                            lc_tran, ell, p: CvoParams):
+    """Reference compute_innerproduct_lc (cvo.cpp:505-561): inner products of
+    the moving cloud under four transforms against the fixed cloud, plus the
+    post-Hessian (with inlier counts) for the CVO result and the second
+    (pnpransac) prior."""
+    x, fx, mx = fixed.positions, fixed.features, fixed.mask
+    y, fy, my = moving.positions, moving.features, moving.mask
+
+    y_prior = se3.transform_points(prior_tran, y)
+    y_lcp = se3.transform_points(lc_prior_tran, y)
+    y_lcp2 = se3.transform_points(lc_prior_tran_2, y)
+    y_lc = se3.transform_points(lc_tran, y)
+
+    prior_v, _ = pairwise.inner_product(y_prior, fy, my, x, fx, mx, ell, p)
+    lcp_v, _ = pairwise.inner_product(y_lcp, fy, my, x, fx, mx, ell, p)
+    pre_v, _ = pairwise.inner_product(y, fy, my, x, fx, mx, ell, p)
+    post_v, _ = pairwise.inner_product(y_lc, fy, my, x, fx, mx, ell, p)
+    fixed_v, _ = pairwise.inner_product(x, fx, mx, x, fx, mx, ell, p)
+    moving_v, _ = pairwise.inner_product(y, fy, my, y, fy, my, ell, p)
+    cos_angle = post_v / (jnp.sqrt(fixed_v) * jnp.sqrt(moving_v))
+
+    H_raw, inliers_svd = pairwise.se3_hessian_raw(y_lc, fy, my, x, fx, mx, ell, p)
+    post_hessian = hessian_postprocess(H_raw, inliers_svd, p)
+    _, inliers_pnp = pairwise.se3_hessian_raw(y_lcp2, fy, my, x, fx, mx, ell, p)
+    return dict(inn_prior=prior_v, inn_lc_prior=lcp_v, inn_lc_pre=pre_v,
+                inn_lc_post=post_v, inn_fixed=fixed_v, inn_moving=moving_v,
+                cos_angle=cos_angle, post_hessian=post_hessian,
+                inliers_svd=inliers_svd, inliers_pnpransac=inliers_pnp)
+
+
+# ---------------------------------------------------------------------------
+# host-side state machine (mirrors cvo::cvo state plumbing)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Cvo:
+    """One CVO instance (the reference keeps two: odometry + keyframe,
+    local_tracker.cpp:48-49)."""
+
+    params: CvoParams
+    fixed: Optional[PointCloud] = None
+    moving: Optional[PointCloud] = None
+    previous: Optional[PointCloud] = None
+    fixed_pixels: Optional[np.ndarray] = None   # CVO-selected pixels of fixed
+    moving_pixels: Optional[np.ndarray] = None
+    previous_pixels: Optional[np.ndarray] = None
+    init: bool = False
+    first_frame: bool = True
+    pre_pc_init: bool = False
+    R: np.ndarray = None
+    T: np.ndarray = None
+    transform: np.ndarray = None   # (4,4) float64 host copy of the output
+    ell: float = None
+    iters: int = 0
+    nnz: int = 0
+
+    def __post_init__(self):
+        self.R = np.eye(3, dtype=np.float32)
+        self.T = np.zeros(3, dtype=np.float32)
+        self.transform = np.eye(4, dtype=np.float64)
+        self.ell = self.params.ell_init
+
+    # -- set_pcd (cvo.cpp:345-386): first call seeds fixed; later calls set
+    #    moving. Clouds are produced once by the frontend and shared.
+    def set_pcd(self, cloud: PointCloud, pixels: np.ndarray):
+        if not self.init:
+            self.fixed = cloud
+            self.fixed_pixels = pixels
+            self.init = True
+            return False
+        self.moving = cloud
+        self.moving_pixels = pixels
+        return True
+
+    def _align(self):
+        res = align(self.fixed, self.moving, self.R, self.T,
+                    np.float32(self.ell), self.params)
+        self.R = np.asarray(res.R)
+        self.T = np.asarray(res.T)
+        self.transform = np.asarray(res.transform, np.float64)
+        self.ell = float(res.ell)
+        self.iters = int(res.iters)
+        self.nnz = int(res.nnz)
+        return self.transform
+
+    def match_odometry(self, cloud: PointCloud, pixels: np.ndarray):
+        """cvo.cpp:461-473."""
+        assert self.init, "cvo not initialized"
+        self.set_pcd(cloud, pixels)
+        return self._align()
+
+    match_keyframe = match_odometry   # cvo.cpp:563-576 (same body)
+
+    def compute_innerproduct(self, tran: np.ndarray):
+        out = compute_innerproduct(self.fixed, self.moving,
+                                   jnp.asarray(tran, jnp.float32),
+                                   np.float32(self.ell), self.params)
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    def compute_innerproduct_lc(self, prior, lc_prior, lc_prior_2, lc_tran):
+        out = compute_innerproduct_lc(
+            self.fixed, self.moving,
+            jnp.asarray(prior, jnp.float32), jnp.asarray(lc_prior, jnp.float32),
+            jnp.asarray(lc_prior_2, jnp.float32), jnp.asarray(lc_tran, jnp.float32),
+            np.float32(self.ell), self.params)
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    # -- state plumbing (cvo.cpp:578-618)
+    def update_fixed_pcd(self):
+        self.fixed, self.fixed_pixels = self.moving, self.moving_pixels
+        self.moving, self.moving_pixels = None, None
+
+    def update_previous_pcd(self):
+        self.previous, self.previous_pixels = self.moving, self.moving_pixels
+        self.moving, self.moving_pixels = None, None
+        self.pre_pc_init = True
+
+    def reset_keyframe(self, odometry: np.ndarray):
+        if not self.pre_pc_init:
+            self.fixed, self.fixed_pixels = self.moving, self.moving_pixels
+            self.moving, self.moving_pixels = None, None
+        else:
+            self.fixed, self.fixed_pixels = self.previous, self.previous_pixels
+            self.update_previous_pcd()
+        self.reset_transform(odometry)
+
+    def reset_transform(self, odometry: np.ndarray):
+        self.transform = np.asarray(odometry, np.float64).copy()
+
+    def reset_initial(self, odometry: np.ndarray):
+        """Warm start (cvo.cpp:611-618): R,T <- (transform @ odometry)^-1;
+        returns the initial guess transform @ odometry."""
+        guess = self.transform @ np.asarray(odometry, np.float64)
+        inv = np.linalg.inv(guess)
+        self.R = inv[:3, :3].astype(np.float32)
+        self.T = inv[:3, 3].astype(np.float32)
+        return guess

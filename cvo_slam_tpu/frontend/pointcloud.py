@@ -1,0 +1,74 @@
+"""RGB-D frame -> fixed-capacity semi-dense colored point cloud.
+
+Re-expression of reference pcd_generator
+(/root/reference/thirdparty/cvo/src/pcd_generator.cpp:366-656): DSO pixel
+selection, depth gating, pinhole back-projection, and the 5-D feature rows
+[B, G, R, dI/dx, dI/dy] of feature_type 1 (:593-615, selected at :355).
+
+Fidelity notes:
+  * the reference converts BGR-loaded images with COLOR_RGB2GRAY
+    (pcd_generator.cpp:624 after cv::imread in run_SLAM.cpp:137), i.e. the
+    luma weights are applied to swapped channels; callers here are expected to
+    pass exactly that gray image (see data.tum.load_image).
+  * points are emitted in raster order; slots beyond `count` are masked.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..config import CameraConfig, FrontendParams
+from . import pyramid, selector
+
+NUM_FEATURES = 5  # data_type.h:26
+
+
+@dataclass
+class PointCloudHost:
+    """Fixed-capacity point cloud (host-side numpy)."""
+    positions: np.ndarray   # (CAP, 3) float32
+    features: np.ndarray    # (CAP, 5) float32
+    mask: np.ndarray        # (CAP,) bool
+    count: int
+    selected_pixels: np.ndarray  # (CAP, 2) int32 (x, y); CVO_selected_points
+
+
+def create_pointcloud(bgr: np.ndarray, gray: np.ndarray, depth: np.ndarray,
+                      cam: CameraConfig, fp: FrontendParams) -> PointCloudHost:
+    """bgr: (H,W,3) uint8 as loaded (BGR order); gray: (H,W) uint8/float;
+    depth: (H,W) uint16 raw depth."""
+    h, w = gray.shape
+    intensity, dxs, dys, absgrads = pyramid.make_pyramid(
+        gray.astype(np.float32), fp.pyr_levels)
+    status, _ = selector.make_maps(
+        absgrads, dxs[0], dys[0], fp.num_want,
+        initial_potential=fp.initial_potential,
+        recursions_left=fp.recursions, seed=fp.random_seed)
+
+    dep = depth.astype(np.float32)
+    keep = (status != 0) & (depth != 0) & np.isfinite(dep)
+    ys, xs = np.nonzero(keep)           # raster order (row-major)
+    n = min(len(xs), fp.cloud_capacity)
+    xs, ys = xs[:n], ys[:n]
+
+    cap = fp.cloud_capacity
+    positions = np.zeros((cap, 3), np.float32)
+    features = np.zeros((cap, NUM_FEATURES), np.float32)
+    mask = np.zeros(cap, bool)
+    pix = np.zeros((cap, 2), np.int32)
+
+    z = dep[ys, xs] / cam.depth_factor
+    positions[:n, 0] = (xs - cam.cx) * z / cam.fx
+    positions[:n, 1] = (ys - cam.cy) * z / cam.fy
+    positions[:n, 2] = z
+
+    features[:n, 0:3] = bgr[ys, xs, :].astype(np.float32)
+    features[:n, 3] = dxs[0][ys, xs]
+    features[:n, 4] = dys[0][ys, xs]
+
+    mask[:n] = True
+    pix[:n, 0] = xs
+    pix[:n, 1] = ys
+    return PointCloudHost(positions, features, mask, n, pix)

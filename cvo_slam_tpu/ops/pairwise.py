@@ -1,0 +1,337 @@
+"""Dense masked pairwise CVO math (reference-fidelity jnp implementation).
+
+TPU-first re-expression of the reference CVO hot loops
+(/root/reference/thirdparty/cvo/src/cvo.cpp): the kd-tree radius search +
+sparse triplet matrix (se_kernel, cvo.cpp:122-184) becomes a dense masked
+N x M kernel computed from matmuls; the mutex-guarded reductions
+(compute_flow :187-236, compute_step_size :239-334, function_inner_product
+:388-459, se3_Hessian :620-759) become deterministic tree reductions.
+
+The 6x6 RKHS Hessian is evaluated through a single 13x13 weighted bilinear
+moment form G = U_a^T (W) U_b with U = [1, p, vec(p p^T)] — two matmuls —
+and assembled from G by exact polynomial index algebra (see _HESSIAN_POLYS).
+This is the same math as the per-pair block accumulation of cvo.cpp:648-713,
+reorganized for the MXU.
+
+All functions take fixed-capacity point clouds with validity masks; invalid
+slots contribute exactly zero.
+"""
+
+from __future__ import annotations
+
+import itertools
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CvoParams
+
+
+# ---------------------------------------------------------------------------
+# thresholds (cvo.cpp:125-126, :395-396, :626-627)
+# ---------------------------------------------------------------------------
+
+def d2_threshold(ell, p: CvoParams):
+    """Geometric squared-distance cutoff: -2 l^2 log(sp_thres / sigma^2)."""
+    return -2.0 * ell * ell * jnp.log(p.sp_thres / (p.sigma * p.sigma))
+
+
+def d2_color_threshold(p: CvoParams):
+    """Color squared-distance cutoff: -2 c_ell^2 log(sp_thres / c_sigma^2)."""
+    return -2.0 * p.c_ell * p.c_ell * np.log(p.sp_thres / (p.c_sigma * p.c_sigma))
+
+
+def _pairwise_sq_dists(x, y):
+    """(N,3),(M,3) -> (N,M) squared distances via the matmul identity."""
+    xx = jnp.sum(x * x, axis=-1)
+    yy = jnp.sum(y * y, axis=-1)
+    xy = x @ y.T
+    return jnp.maximum(xx[:, None] + yy[None, :] - 2.0 * xy, 0.0)
+
+
+def _pair_mask_and_kernels(x, y, fx, fy, mx, my, ell, p: CvoParams):
+    """Shared gate: geometric + color thresholds + validity.
+
+    Returns (gate_mask, k, ck, d2, d2c) where k/ck are the geometric/color
+    kernel values (cvo.cpp:172-174)."""
+    d2 = _pairwise_sq_dists(x, y)
+    d2c = _pairwise_sq_dists(fx, fy)
+    gate = (d2 < d2_threshold(ell, p)) & (d2c < d2_color_threshold(p))
+    gate = gate & mx[:, None] & my[None, :]
+    k = (p.sigma * p.sigma) * jnp.exp(-d2 / (2.0 * ell * ell))
+    ck = (p.c_sigma * p.c_sigma) * jnp.exp(-d2c / (2.0 * p.c_ell * p.c_ell))
+    return gate, k, ck, d2, d2c
+
+
+# ---------------------------------------------------------------------------
+# se_kernel + compute_flow (cvo.cpp:122-236)
+# ---------------------------------------------------------------------------
+
+def cvo_kernel(x, y, fx, fy, mx, my, ell, p: CvoParams):
+    """Masked joint kernel A (N,M). Entries pass the geometric/color gates and
+    the sparsification test a > sp_thres (cvo.cpp:175); zero elsewhere."""
+    gate, k, ck, _, _ = _pair_mask_and_kernels(x, y, fx, fy, mx, my, ell, p)
+    a = ck * k
+    keep = gate & (a > p.sp_thres)
+    return jnp.where(keep, a, 0.0), keep
+
+
+def flow(x, y, fx, fy, mx, my, ell, p: CvoParams):
+    """omega, v of the RKHS gradient flow (compute_flow, cvo.cpp:187-236):
+
+      omega = (1/c) sum_ij A_ij (x_i x y_j) = (1/c) sum_i x_i x (A y)_i
+      v     = (1/d) sum_ij A_ij (y_j - x_i)
+
+    Returns (omega, v, A, nnz)."""
+    A, keep = cvo_kernel(x, y, fx, fy, mx, my, ell, p)
+    m = A @ y                      # (N,3) row-wise weighted moving moments
+    s = jnp.sum(A, axis=1)         # (N,) row sums
+    omega = jnp.sum(jnp.cross(x, m), axis=0) / p.c
+    v = jnp.sum(m - s[:, None] * x, axis=0) / p.d
+    nnz = jnp.sum(keep)
+    return omega, v, A, nnz
+
+
+# ---------------------------------------------------------------------------
+# compute_step_size quartic coefficients (cvo.cpp:239-315)
+# ---------------------------------------------------------------------------
+
+def step_coeffs(x, y, A, omega, v, ell):
+    """Taylor coefficients B,C,D,E of the 4th-order step-size expansion.
+
+    Per-pair scalars (cvo.cpp:282-306) with j the moving index:
+      beta  = -2 tc * xiz_j . (x_i - y_j)
+      gamma = -tc * (|xiz_j|^2 + 2 xi2z_j . (x_i - y_j))
+      delta = 2 tc * (-xiz_j . xi2z_j - xi3z_j . (x_i - y_j))
+      epsil = -tc * (|xi2z_j|^2 + 2 xiz_j.xi3z_j + 2 xi4z_j . (x_i - y_j))
+    with tc = 1/(2 l^2). The x_i-dependence enters through four (N,M)
+    matmuls X @ xi{1..4}z^T; the rest are per-j scalars."""
+    oh = jnp.zeros((3, 3), A.dtype)
+    oh = oh.at[0, 1].set(-omega[2]).at[0, 2].set(omega[1])
+    oh = oh.at[1, 0].set(omega[2]).at[1, 2].set(-omega[0])
+    oh = oh.at[2, 0].set(-omega[1]).at[2, 1].set(omega[0])
+    oh2 = oh @ oh
+    oh3 = oh2 @ oh
+    oh4 = oh3 @ oh
+
+    # row j of y @ oh.T is (skew(omega) @ y_j)^T = omega x y_j
+    xiz = y @ oh.T + v[None, :]
+    xi2z = y @ oh2.T + (oh @ v)[None, :]
+    xi3z = y @ oh3.T + (oh2 @ v)[None, :]
+    xi4z = y @ oh4.T + (oh3 @ v)[None, :]
+
+    normxiz2 = jnp.sum(xiz * xiz, axis=1)
+    xiz_dot_xi2z = -jnp.sum(xiz * xi2z, axis=1)
+    epsil_const = jnp.sum(xi2z * xi2z, axis=1) + 2.0 * jnp.sum(xiz * xi3z, axis=1)
+
+    tc = 1.0 / (2.0 * ell * ell)
+    # xi{k}z_j . (x_i - y_j) = (X @ xi{k}z^T)_ij - (xi{k}z_j . y_j)
+    d1 = x @ xiz.T - jnp.sum(xiz * y, axis=1)[None, :]
+    d2 = x @ xi2z.T - jnp.sum(xi2z * y, axis=1)[None, :]
+    d3 = x @ xi3z.T - jnp.sum(xi3z * y, axis=1)[None, :]
+    d4 = x @ xi4z.T - jnp.sum(xi4z * y, axis=1)[None, :]
+
+    beta = -2.0 * tc * d1
+    gamma = -tc * (normxiz2[None, :] + 2.0 * d2)
+    delta = 2.0 * tc * (xiz_dot_xi2z[None, :] - d3)
+    epsil = -tc * (epsil_const[None, :] + 2.0 * d4)
+
+    B = jnp.sum(A * beta)
+    C = jnp.sum(A * (gamma + beta * beta / 2.0))
+    D = jnp.sum(A * (delta + beta * gamma + beta ** 3 / 6.0))
+    E = jnp.sum(A * (epsil + beta * delta + 0.5 * beta * beta * gamma
+                     + 0.5 * gamma * gamma + beta ** 4 / 24.0))
+    return B, C, D, E
+
+
+# ---------------------------------------------------------------------------
+# function_inner_product (cvo.cpp:388-459)
+# ---------------------------------------------------------------------------
+
+def inner_product(xa, fa, ma, xb, fb, mb, ell, p: CvoParams):
+    """RKHS inner product <f_a, f_b>: sum of joint kernel values over pairs
+    passing the geometric+color gates (no sp_thres gate here — cvo.cpp:428-447).
+    Returns (value, num) with num >= 1 (cvo.cpp:455-456)."""
+    gate, k, ck, _, _ = _pair_mask_and_kernels(xa, xb, fa, fb, ma, mb, ell, p)
+    a = jnp.where(gate, ck * k, 0.0)
+    value = jnp.sum(a)
+    num = jnp.sum(gate).astype(a.dtype)
+    num = jnp.where(num == 0, 1.0, num)
+    return value, num
+
+
+# ---------------------------------------------------------------------------
+# se3_Hessian via 13x13 weighted moments (cvo.cpp:620-759)
+# ---------------------------------------------------------------------------
+# Polynomial index algebra: each 6x6 Hessian entry is
+#     H[r,c] = il2 * ( il2 * <hi_poly> + <lo_poly> )
+# where <P> = sum_ij w_ij P(a_i, b_j), w_ij = k_ij * (f_a.f_b)_ij * gate_ij,
+# il2 = 1/l^2, and each poly is degree <=2 in a and <=2 in b — i.e. a linear
+# functional of the moment matrix G = U_a^T W U_b with U = [1, p, vec(pp^T)].
+
+
+class _Poly:
+    """Tiny polynomial in a0..a2, b0..b2 (degree <=2 per side)."""
+
+    def __init__(self, terms=None):
+        self.terms = dict(terms or {})  # {(a_idx_tuple, b_idx_tuple): coef}
+
+    @staticmethod
+    def const(c=1.0):
+        return _Poly({((), ()): float(c)})
+
+    @staticmethod
+    def a(i):
+        return _Poly({((i,), ()): 1.0})
+
+    @staticmethod
+    def b(i):
+        return _Poly({((), (i,)): 1.0})
+
+    def __add__(self, o):
+        t = dict(self.terms)
+        for k, v in o.terms.items():
+            t[k] = t.get(k, 0.0) + v
+        return _Poly(t)
+
+    def __sub__(self, o):
+        return self + (o * -1.0)
+
+    def __mul__(self, o):
+        if isinstance(o, (int, float)):
+            return _Poly({k: v * o for k, v in self.terms.items()})
+        t = {}
+        for (a1, b1), c1 in self.terms.items():
+            for (a2, b2), c2 in o.terms.items():
+                ka = tuple(sorted(a1 + a2))
+                kb = tuple(sorted(b1 + b2))
+                assert len(ka) <= 2 and len(kb) <= 2, "degree overflow"
+                t[(ka, kb)] = t.get((ka, kb), 0.0) + c1 * c2
+        return _Poly(t)
+
+    __rmul__ = __mul__
+
+
+def _u_index(idx):
+    """Map a monomial index tuple to the row of U = [1, p0..p2, vec(pp^T)]."""
+    if len(idx) == 0:
+        return (0,)
+    if len(idx) == 1:
+        return (1 + idx[0],)
+    p, q = idx
+    return (4 + 3 * p + q,)
+
+
+@lru_cache(maxsize=1)
+def _hessian_polys():
+    """Build the (hi, lo) polynomial pair for each of the 36 Hessian entries,
+    mirroring the block formulas of cvo.cpp:666-704."""
+    a = [_Poly.a(i) for i in range(3)]
+    b = [_Poly.b(i) for i in range(3)]
+    zero = _Poly()
+    cross = [a[1] * b[2] - a[2] * b[1],
+             a[2] * b[0] - a[0] * b[2],
+             a[0] * b[1] - a[1] * b[0]]
+    diff = [b[i] - a[i] for i in range(3)]
+    one = _Poly.const(1.0)
+
+    # Block A (cvo.cpp:666-675)
+    A_ = [[None] * 3 for _ in range(3)]
+    dots = [a[1] * b[1] + a[2] * b[2],
+            a[0] * b[0] + a[2] * b[2],
+            a[0] * b[0] + a[1] * b[1]]
+    for i in range(3):
+        A_[i][i] = (cross[i] * cross[i], zero - dots[i])
+    for i, j in ((0, 1), (0, 2), (1, 2)):
+        lo = 0.5 * (a[i] * b[j] + a[j] * b[i])
+        A_[i][j] = A_[j][i] = (cross[i] * cross[j], lo)
+
+    # Block C (cvo.cpp:677-688): C[r][c]
+    C_ = [[None] * 3 for _ in range(3)]
+    for i in range(3):
+        C_[i][i] = (cross[i] * diff[i], zero)
+    C_[1][0] = (diff[1] * cross[0], a[2] * one)
+    C_[2][0] = (diff[2] * cross[0], zero - a[1])
+    C_[0][1] = (diff[0] * cross[1], zero - a[2])
+    C_[2][1] = (diff[2] * cross[1], a[0] * one)
+    C_[0][2] = (diff[0] * cross[2], a[1] * one)
+    C_[1][2] = (diff[1] * cross[2], zero - a[0])
+
+    # Block D (cvo.cpp:690-697)
+    D_ = [[None] * 3 for _ in range(3)]
+    for i in range(3):
+        D_[i][i] = (diff[i] * diff[i], zero - one)
+    for i, j in ((0, 1), (0, 2), (1, 2)):
+        D_[i][j] = D_[j][i] = (diff[i] * diff[j], zero)
+
+    # Assemble 6x6: [[A, C^T], [C, D]] (cvo.cpp:699-704)
+    H = [[None] * 6 for _ in range(6)]
+    for i in range(3):
+        for j in range(3):
+            H[i][j] = A_[i][j]
+            H[i][3 + j] = C_[j][i]      # C^T
+            H[3 + i][j] = C_[i][j]
+            H[3 + i][3 + j] = D_[i][j]
+
+    # Flatten each entry into (rows, cols, coefs) against the 13x13 G.
+    def compile_poly(poly):
+        rows, cols, coefs = [], [], []
+        for (ia, ib), c in poly.terms.items():
+            if c == 0.0:
+                continue
+            rows.append(_u_index(ia)[0])
+            cols.append(_u_index(ib)[0])
+            coefs.append(c)
+        return (np.array(rows, np.int32), np.array(cols, np.int32),
+                np.array(coefs, np.float32))
+
+    return [[(compile_poly(H[r][c][0]), compile_poly(H[r][c][1]))
+             for c in range(6)] for r in range(6)]
+
+
+def lift_u(pts):
+    """(N,3) -> (N,13) moment features U = [1, p, vec(p p^T)]."""
+    n = pts.shape[0]
+    ones = jnp.ones((n, 1), pts.dtype)
+    outer = (pts[:, :, None] * pts[:, None, :]).reshape(n, 9)
+    return jnp.concatenate([ones, pts, outer], axis=1)
+
+
+def assemble_hessian(G, ell):
+    """6x6 Hessian from the 13x13 moment matrix G (exact index algebra)."""
+    il2 = 1.0 / (ell * ell)
+    polys = _hessian_polys()
+    rows = []
+    for r in range(6):
+        row = []
+        for c in range(6):
+            (hr, hc, hco), (lr, lc, lco) = polys[r][c]
+            hi = jnp.sum(G[hr, hc] * hco) if len(hco) else 0.0
+            lo = jnp.sum(G[lr, lc] * lco) if len(lco) else 0.0
+            row.append(il2 * (il2 * hi + lo))
+        rows.append(jnp.stack(row))
+    return jnp.stack(rows)
+
+
+def hessian_moments(xa, fa, ma, xb, fb, mb, ell, p: CvoParams):
+    """Weighted moment matrix G (13,13) and inlier count for se3_Hessian.
+
+    Pair weight w = k * (f_a . f_b) over pairs passing the geometric+color
+    gates (cvo.cpp:648-662); cloud_a is the transformed moving cloud, cloud_b
+    the fixed cloud (cvo.cpp:500, :555)."""
+    gate, k, _, _, _ = _pair_mask_and_kernels(xa, xb, fa, fb, ma, mb, ell, p)
+    cdot = fa @ fb.T
+    W = jnp.where(gate, k * cdot, 0.0)
+    Ua = lift_u(xa)
+    Ub = lift_u(xb)
+    G = Ua.T @ (W @ Ub)
+    inliers = jnp.sum(gate)
+    return G, inliers
+
+
+def se3_hessian_raw(xa, fa, ma, xb, fb, mb, ell, p: CvoParams):
+    """Unscaled 6x6 Hessian sum (before the -1/1e5 scaling and eigenvalue
+    floor of cvo.cpp:726-754, which live in engine.hessian_postprocess)."""
+    G, inliers = hessian_moments(xa, fa, ma, xb, fb, mb, ell, p)
+    return assemble_hessian(G, ell), inliers
