@@ -1,0 +1,101 @@
+"""CLI entry point: run CVO-SLAM on a TUM-format sequence.
+
+Re-expression of reference run_SLAM (/root/reference/src/run_SLAM.cpp): loads
+the association file, streams frames through the KeyframeTracker, writes
+Tracking_trajectory.txt per frame (run_SLAM.cpp:83-86) and, unless
+OnlyTracking, SLAM_trajectory.txt + loop_closure.txt at the end (:91-98).
+Per-frame metrics go to metrics.jsonl (structured replacement for the
+reference's stdout narration + hardcoded /home/xi side files).
+
+Usage:
+  python -m cvo_slam_tpu.app.run_slam --folder <seq_dir> \
+      [--association associate.txt] [--camera TUM1] [--config config.txt] \
+      [--only-tracking] [--max-frames N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+from ..config import CAMERA_PRESETS, SlamConfig, parse_config_txt
+from ..data import tum
+from ..tracking.keyframe_tracker import KeyframeTracker
+
+
+def build_tracker(cam, cfg, verbose=False):
+    graph = None
+    if not cfg.OnlyTracking:
+        from ..backend.keyframe_graph import KeyframeGraph
+        from ..features.orb import keyframe_feature_hook
+        graph = KeyframeGraph(cam, cfg)
+        return KeyframeTracker(cam, cfg, graph=graph,
+                               keyframe_feature_hook=keyframe_feature_hook(cam, cfg),
+                               verbose=verbose)
+    return KeyframeTracker(cam, cfg, graph=None, verbose=verbose)
+
+
+def run(folder: str, association: str, cam_name: str, cfg: SlamConfig,
+        max_frames: int = 0, verbose: bool = False):
+    cam = CAMERA_PRESETS[cam_name]
+    records = tum.load_association(os.path.join(folder, association))
+    if max_frames:
+        records = records[:max_frames]
+
+    tracker = build_tracker(cam, cfg, verbose)
+    tracker.init()
+
+    traj_path = os.path.join(folder, "Tracking_trajectory.txt")
+    metrics_path = os.path.join(folder, "metrics.jsonl")
+    t_start = time.perf_counter()
+    with open(traj_path, "w") as traj, open(metrics_path, "w") as mf:
+        for i, rec in enumerate(records):
+            image = tum.load_image(folder, rec)
+            if i == len(records) - 1:
+                tracker.force_keyframe()
+            t0 = time.perf_counter()
+            pose = tracker.update(image)
+            dt = time.perf_counter() - t0
+            traj.write(tum.pose_to_tum_line(image.timestamp, pose) + "\n")
+            mf.write(json.dumps({
+                "frame": i, "timestamp": image.timestamp, "t_frame_s": dt,
+                **{k: int(v) for k, v in tracker.lt.metrics.items()}}) + "\n")
+            if verbose:
+                print(f"frame {i + 1}/{len(records)} {dt * 1e3:.1f} ms")
+    wall = time.perf_counter() - t_start
+
+    if not cfg.OnlyTracking:
+        tracker.write_slam_trajectory_and_loop_closure(
+            os.path.join(folder, "SLAM_trajectory.txt"),
+            os.path.join(folder, "loop_closure.txt"))
+    return dict(frames=len(records), wall_s=wall,
+                fps=len(records) / wall if wall > 0 else 0.0)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--folder", required=True)
+    ap.add_argument("--association", default="associate.txt")
+    ap.add_argument("--camera", default="TUM1", choices=sorted(CAMERA_PRESETS))
+    ap.add_argument("--config", default=None,
+                    help="reference-style config.txt (default: shipped values)")
+    ap.add_argument("--only-tracking", action="store_true")
+    ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args(argv)
+
+    cfg = (parse_config_txt(args.config) if args.config
+           else SlamConfig.default_shipped())
+    if args.only_tracking:
+        cfg = cfg.replace(OnlyTracking=True)
+    stats = run(args.folder, args.association, args.camera, cfg,
+                args.max_frames, args.verbose)
+    print(json.dumps(stats))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,84 @@
+"""Synthetic TUM-format RGB-D sequence generator (for tests + benches).
+
+Renders a textured wavy-depth scene from a smooth SE(3) camera trajectory by
+inverse reprojection from the base frame, writes PNGs + association file +
+groundtruth.txt so the full CLI path runs without downloading datasets.
+"""
+
+from __future__ import annotations
+
+import os
+
+import cv2
+import numpy as np
+
+from ..config import CameraConfig
+from ..ops import se3
+import jax.numpy as jnp
+
+
+def _base_scene(cam: CameraConfig, rng):
+    H, W = cam.height, cam.width
+    base = rng.uniform(0, 255, (H // 8, W // 8)).astype(np.float32)
+    tex = cv2.resize(base, (W, H), interpolation=cv2.INTER_CUBIC)
+    bgr = np.stack([tex, np.roll(tex, 3, 0), np.roll(tex, 5, 1)],
+                   -1).clip(0, 255).astype(np.uint8)
+    z = (2.0 + 0.5 * np.sin(np.linspace(0, 3, W))[None, :]
+         + 0.3 * np.cos(np.linspace(0, 2, H))[:, None])
+    return bgr, z.astype(np.float64)
+
+
+def make_sequence(folder: str, cam: CameraConfig, n_frames: int = 12,
+                  seed: int = 7, step_twist=None):
+    """Create a synthetic sequence under `folder`. Returns the ground-truth
+    cam->world poses (N,4,4)."""
+    os.makedirs(os.path.join(folder, "rgb"), exist_ok=True)
+    os.makedirs(os.path.join(folder, "depth"), exist_ok=True)
+    rng = np.random.default_rng(seed)
+    bgr0, z0 = _base_scene(cam, rng)
+    H, W = cam.height, cam.width
+    fx, fy, cx, cy = cam.fx, cam.fy, cam.cx, cam.cy
+
+    if step_twist is None:
+        step_twist = np.array([0.004, -0.006, 0.003, 0.010, -0.006, 0.008])
+    G_step = np.asarray(se3.exp_se3(jnp.asarray(step_twist, jnp.float32)),
+                        np.float64)
+
+    ys, xs = np.mgrid[0:H, 0:W]
+    P0 = np.stack([(xs - cx) * z0 / fx, (ys - cy) * z0 / fy, z0], -1).reshape(-1, 3)
+
+    assoc, gt = [], []
+    G = np.eye(4)   # frame k camera pose relative to frame 0: p_k = G p_0
+    for k in range(n_frames):
+        ts = f"{1000.0 + 0.05 * k:.6f}"
+        if k == 0:
+            bgr, depth = bgr0, (z0 * cam.depth_factor).astype(np.uint16)
+        else:
+            Pw = P0 @ G[:3, :3].T + G[:3, 3]
+            u = (Pw[:, 0] / Pw[:, 2] * fx + cx).reshape(H, W)
+            v = (Pw[:, 1] / Pw[:, 2] * fy + cy).reshape(H, W)
+            m = (u >= 0) & (u < W - 1) & (v >= 0) & (v < H - 1) & \
+                (Pw[:, 2].reshape(H, W) > 0.1)
+            bgr = np.zeros_like(bgr0)
+            depth = np.zeros((H, W), np.uint16)
+            ui, vi = u[m].astype(int), v[m].astype(int)
+            bgr[vi, ui] = bgr0[ys[m], xs[m]]
+            depth[vi, ui] = (Pw[:, 2].reshape(H, W)[m]
+                             * cam.depth_factor).astype(np.uint16)
+            holes = depth == 0
+            bgr[holes] = bgr0[holes]
+            depth[holes] = (z0[holes] * cam.depth_factor).astype(np.uint16)
+        rgb_rel = f"rgb/{ts}.png"
+        dep_rel = f"depth/{ts}.png"
+        cv2.imwrite(os.path.join(folder, rgb_rel), bgr)
+        cv2.imwrite(os.path.join(folder, dep_rel), depth)
+        assoc.append(f"{ts} {rgb_rel} {ts} {dep_rel}")
+        gt.append(np.linalg.inv(G))   # cam->world pose of frame k
+        G = G_step @ G
+
+    with open(os.path.join(folder, "associate.txt"), "w") as f:
+        f.write("\n".join(assoc) + "\n")
+    from .tum import write_trajectory
+    write_trajectory(os.path.join(folder, "groundtruth.txt"),
+                     [(f"{1000.0 + 0.05 * k:.6f}", gt[k]) for k in range(n_frames)])
+    return np.array(gt)

@@ -1,0 +1,171 @@
+"""Per-frame tracking orchestration (two CVO instances + local map).
+
+Re-expression of reference LocalTracker (/root/reference/src/local_tracker.cpp):
+owns `cvo_odometry` (frame-to-frame) and `cvo_keyframe` (keyframe-to-frame)
+instances (local_tracker.cpp:48-49, 143) and the current LocalMap. Signals are
+plain callable lists (accept = AND over all callbacks, local_tracker.h:65-83).
+
+Design deviation (documented): the reference generates the point cloud twice
+per frame — once inside each cvo's set_pcd on the same images — with a fully
+deterministic selector; here the frontend runs once per frame and the cloud is
+shared by both instances. Keyframe ORB extraction (local_tracker.cpp:292-300)
+is attached via the `keyframe_feature_hook` so the sparse-feature layer plugs
+in without touching the tracking flow.
+"""
+
+from __future__ import annotations
+
+import copy
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional
+
+import numpy as np
+
+from ..config import CameraConfig, SlamConfig
+from ..cvo.engine import Cvo, PointCloud
+from ..data.tum import ImagePair
+from ..frontend.pointcloud import create_pointcloud
+from .local_map import LocalMap
+from .types import Keyframe, TrackingResult
+
+
+class LocalTracker:
+
+    def __init__(self, cam: CameraConfig, cfg: SlamConfig,
+                 keyframe_feature_hook: Optional[Callable] = None,
+                 log: Optional[Callable[[str], None]] = None):
+        self.cam = cam
+        self.cfg = cfg
+        self.cvo_odometry = Cvo(cfg.cvo)
+        self.cvo_keyframe = Cvo(cfg.cvo)
+        self.local_map: Optional[LocalMap] = None
+        self.reference_result: Optional[TrackingResult] = None  # map-init r_odometry
+        self.new_map = False
+        self.force = False
+        self.next_kf_id = 0
+        self.keyframe_feature_hook = keyframe_feature_hook
+        self.accept_callbacks: List[Callable] = []
+        self.map_initialized_callbacks: List[Callable] = []
+        self.map_complete_callbacks: List[Callable] = []
+        self.log = log or (lambda s: None)
+        self.metrics = {}
+
+    # -- frontend: one cloud per frame, shared by both cvo instances
+    def _make_cloud(self, image: ImagePair):
+        pc = create_pointcloud(image.bgr, image.gray, image.depth,
+                               self.cam, self.cfg.frontend)
+        return PointCloud.from_host(pc), pc.selected_pixels[:pc.count].copy()
+
+    def _make_keyframe(self, image: ImagePair, pose: np.ndarray,
+                       cloud: PointCloud, pixels: np.ndarray) -> Keyframe:
+        kf = Keyframe(id=self.next_kf_id, timestamp=image.timestamp,
+                      pose=np.asarray(pose, np.float64).copy(), cloud=cloud,
+                      selected_pixels=pixels, gray=image.gray,
+                      depth_m=image.depth.astype(np.float32) / self.cam.depth_factor)
+        self.next_kf_id += 1
+        if self.keyframe_feature_hook is not None:
+            self.keyframe_feature_hook(kf)   # ORB + BoW (local_tracker.cpp:292-300)
+        return kf
+
+    # -- initNewLocalMap, public overload (local_tracker.cpp:223-284)
+    def init_new_local_map(self, keyframe_img: ImagePair, frame_img: ImagePair,
+                           keyframe_pose: np.ndarray):
+        kf_cloud, kf_pix = self._make_cloud(keyframe_img)
+        fr_cloud, fr_pix = self._make_cloud(frame_img)
+        self.cvo_odometry.set_pcd(kf_cloud, kf_pix)
+        self.cvo_keyframe.set_pcd(kf_cloud, kf_pix)
+        T = self.cvo_odometry.match_odometry(fr_cloud, fr_pix)
+        ip = self.cvo_odometry.compute_innerproduct(T.astype(np.float32))
+        r_odometry = TrackingResult.from_innerproduct(T, ip)
+        self.cvo_odometry.update_fixed_pcd()
+        self._init_new_local_map(keyframe_img, frame_img, r_odometry,
+                                 keyframe_pose, kf_cloud, kf_pix)
+
+    # -- initNewLocalMap, internal overload (local_tracker.cpp:286-347)
+    def _init_new_local_map(self, keyframe_img: ImagePair, frame_img: ImagePair,
+                            r_odometry: TrackingResult, keyframe_pose: np.ndarray,
+                            kf_cloud: PointCloud, kf_pixels: np.ndarray):
+        kf = self._make_keyframe(keyframe_img, keyframe_pose, kf_cloud, kf_pixels)
+        self.local_map = LocalMap(kf, np.asarray(keyframe_pose, np.float64).copy(),
+                                  self.cfg)
+        self.local_map.add_frame(frame_img, frame_img.timestamp)
+        self.log("Initialize a new local map")
+        if self.cvo_keyframe.first_frame:
+            self.cvo_keyframe.first_frame = False
+            self.cvo_keyframe.reset_transform(r_odometry.transform)
+        else:
+            self.cvo_keyframe.reset_keyframe(r_odometry.transform)
+            self.new_map = True
+        self.local_map.add_keyframe_measurement(r_odometry)
+        self.reference_result = copy.deepcopy(r_odometry)
+        for cb in self.map_initialized_callbacks:
+            cb(self, self.local_map, r_odometry)
+
+    # -- update (local_tracker.cpp:349-572)
+    def update(self, image: ImagePair) -> np.ndarray:
+        self.new_map = False
+        cloud, pixels = self._make_cloud(image)
+
+        # consecutive tracking
+        T_odo = self.cvo_odometry.match_odometry(cloud, pixels)
+        ip = self.cvo_odometry.compute_innerproduct(T_odo.astype(np.float32))
+        r_odometry = TrackingResult.from_innerproduct(T_odo, ip)
+        self.metrics["odo_iters"] = self.cvo_odometry.iters
+        self.metrics["odo_nnz"] = self.cvo_odometry.nnz
+
+        last_cloud = self.cvo_odometry.fixed              # previous frame cloud
+        last_pixels = self.cvo_odometry.fixed_pixels
+        current_cloud, current_pixels = cloud, pixels
+        self.cvo_odometry.update_fixed_pcd()
+
+        # keyframe-based tracking, warm-started (local_tracker.cpp:406-415)
+        self.cvo_keyframe.reset_initial(T_odo)
+        T_kf = self.cvo_keyframe.match_keyframe(cloud, pixels)
+        ip2 = self.cvo_keyframe.compute_innerproduct(T_kf.astype(np.float32))
+        r_keyframe = TrackingResult.from_innerproduct(T_kf, ip2)
+        r_keyframe.dis_to_keyframe = self.local_map.get_frame_number()
+        self.metrics["kf_iters"] = self.cvo_keyframe.iters
+        self.metrics["kf_nnz"] = self.cvo_keyframe.nnz
+
+        # keyframe decision: AND over all criteria (evaluated unconditionally,
+        # matching the boost combiner + its logging side effects)
+        self.log("Check whether a new keyframe is needed")
+        votes = [cb(self, r_odometry, r_keyframe) for cb in self.accept_callbacks]
+        if all(votes) and not self.force:
+            self.log("Update current local pose graph")
+            self.local_map.add_frame(image, image.timestamp)
+            self.local_map.add_odometry_measurement(r_odometry)
+            self.local_map.add_keyframe_measurement(r_keyframe)
+            self.cvo_keyframe.update_previous_pcd()
+        else:
+            self.log("Current local pose graph completes")
+            prev_frame_img = self.local_map.get_current_frame()
+            current_pose = self.local_map.get_current_frame_pose()
+            for cb in self.map_complete_callbacks:
+                cb(self, self.local_map)
+            self._init_new_local_map(prev_frame_img, image, r_odometry,
+                                     current_pose, last_cloud, last_pixels)
+            if self.force:
+                # final frame: it becomes the second keyframe of the last map
+                # (local_tracker.cpp:523-567)
+                self.local_map.set_last_map()
+                kf = self._make_keyframe(image,
+                                         self.local_map.get_current_frame_pose(),
+                                         current_cloud, current_pixels)
+                self.local_map.set_last_keyframe(kf)
+                for cb in self.map_complete_callbacks:
+                    cb(self, self.local_map)
+                return self.local_map.get_current_frame_pose()
+        return self.local_map.get_current_frame_pose()
+
+    def get_local_map(self):
+        return self.local_map
+
+    def get_current_pose(self) -> np.ndarray:
+        return self.local_map.get_current_frame_pose()
+
+    def check_new_map(self) -> bool:
+        return self.new_map
+
+    def force_complete_current_local_map(self):
+        self.force = True
