@@ -1,0 +1,116 @@
+"""Benchmark: CVO-SLAM frontend tracking throughput on one chip.
+
+Measures the per-frame device work of the tracking pipeline — two CVO
+registrations (odometry + keyframe) each followed by the inner-product /
+Hessian pass — on real point clouds produced by the frontend from a synthetic
+TUM-format scene (capacity 3584, ~3000 valid points, the reference workload
+shape: SURVEY.md section 6).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The reference publishes no fps number (BASELINE.md); vs_baseline is reported
+against 30 fps (RGB-D camera real-time rate).
+
+Runs on whatever platform JAX selects (TPU under the driver; JAX_PLATFORMS=cpu
+for local smoke)."""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    from cvo_slam_tpu.config import CAMERA_PRESETS, SlamConfig
+    from cvo_slam_tpu.data.synthetic import _base_scene
+    from cvo_slam_tpu.frontend.pointcloud import create_pointcloud
+    from cvo_slam_tpu.cvo import engine
+    from cvo_slam_tpu.ops import se3
+    import jax.numpy as jnp
+    import cv2
+
+    cam = CAMERA_PRESETS["TUM1"]
+    cfg = SlamConfig.default_shipped()
+    p = cfg.cvo
+
+    # build 4 frames of a synthetic scene (host-side, excluded from timing)
+    rng = np.random.default_rng(7)
+    bgr0, z0 = _base_scene(cam, rng)
+    H, W = cam.height, cam.width
+    fx, fy, cx, cy = cam.fx, cam.fy, cam.cx, cam.cy
+    step = np.asarray(se3.exp_se3(jnp.asarray(
+        np.array([0.004, -0.006, 0.003, 0.010, -0.006, 0.008], np.float32))),
+        np.float64)
+    ys, xs = np.mgrid[0:H, 0:W]
+    P0 = np.stack([(xs - cx) * z0 / fx, (ys - cy) * z0 / fy, z0], -1).reshape(-1, 3)
+    clouds = []
+    G = np.eye(4)
+    for k in range(4):
+        if k == 0:
+            bgr, depth = bgr0, (z0 * cam.depth_factor).astype(np.uint16)
+        else:
+            Pw = P0 @ G[:3, :3].T + G[:3, 3]
+            u = (Pw[:, 0] / Pw[:, 2] * fx + cx).reshape(H, W)
+            v = (Pw[:, 1] / Pw[:, 2] * fy + cy).reshape(H, W)
+            m = (u >= 0) & (u < W - 1) & (v >= 0) & (v < H - 1)
+            bgr = np.zeros_like(bgr0)
+            depth = np.zeros((H, W), np.uint16)
+            ui, vi = u[m].astype(int), v[m].astype(int)
+            bgr[vi, ui] = bgr0[ys[m], xs[m]]
+            depth[vi, ui] = (Pw[:, 2].reshape(H, W)[m] * cam.depth_factor
+                             ).astype(np.uint16)
+            holes = depth == 0
+            bgr[holes] = bgr0[holes]
+            depth[holes] = (z0[holes] * cam.depth_factor).astype(np.uint16)
+        gray = cv2.cvtColor(bgr, cv2.COLOR_RGB2GRAY)
+        pc = create_pointcloud(bgr, gray, depth, cam, cfg.frontend)
+        clouds.append(engine.PointCloud.from_host(pc))
+        G = step @ G
+    log(f"platform={jax.devices()[0].platform} clouds ready")
+
+    eye3 = jnp.eye(3)
+    zero3 = jnp.zeros(3)
+    ell = jnp.float32(p.ell_init)
+
+    def frame_step(kf_cloud, prev_cloud, cur_cloud, ell):
+        """Device work of one tracked frame: 2 aligns + 2 innerproduct passes."""
+        r1 = engine.align(prev_cloud, cur_cloud, eye3, zero3, ell, p)
+        ip1 = engine.compute_innerproduct(prev_cloud, cur_cloud,
+                                          r1.transform, r1.ell, p)
+        r2 = engine.align(kf_cloud, cur_cloud, eye3, zero3, r1.ell, p)
+        ip2 = engine.compute_innerproduct(kf_cloud, cur_cloud,
+                                          r2.transform, r2.ell, p)
+        return r1, ip1, r2, ip2
+
+    # warmup / compile
+    t0 = time.perf_counter()
+    out = frame_step(clouds[0], clouds[1], clouds[2], ell)
+    jax.block_until_ready(out)
+    log(f"compile+first: {time.perf_counter() - t0:.1f}s "
+        f"iters={int(out[0].iters)},{int(out[2].iters)}")
+
+    n_frames = 20
+    t0 = time.perf_counter()
+    for i in range(n_frames):
+        a, b, c = clouds[i % 2], clouds[1 + i % 2], clouds[2 + i % 2]
+        out = frame_step(a, b, c, ell)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    fps = n_frames / dt
+    log(f"{n_frames} frames in {dt:.2f}s -> {fps:.2f} fps")
+
+    print(json.dumps({
+        "metric": "tracking_frames_per_s_chip",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 30.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

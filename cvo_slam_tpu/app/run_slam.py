@@ -28,15 +28,26 @@ from ..tracking.keyframe_tracker import KeyframeTracker
 
 
 def build_tracker(cam, cfg, verbose=False):
-    graph = None
-    if not cfg.OnlyTracking:
-        from ..backend.keyframe_graph import KeyframeGraph
+    if cfg.OnlyTracking:
+        return KeyframeTracker(cam, cfg, graph=None, verbose=verbose)
+    from ..backend.keyframe_graph import KeyframeGraph
+    feature_hook = None
+    loop_detector = None
+    windowed_ba = None
+    try:
         from ..features.orb import keyframe_feature_hook
-        graph = KeyframeGraph(cam, cfg)
-        return KeyframeTracker(cam, cfg, graph=graph,
-                               keyframe_feature_hook=keyframe_feature_hook(cam, cfg),
-                               verbose=verbose)
-    return KeyframeTracker(cam, cfg, graph=None, verbose=verbose)
+        from ..backend.loop_closure import make_loop_detector
+        from ..backend.ba import make_windowed_ba
+        feature_hook = keyframe_feature_hook(cam, cfg)
+        loop_detector = make_loop_detector(cam, cfg)
+        windowed_ba = make_windowed_ba(cam, cfg)
+    except ImportError:
+        pass   # sparse-feature layer not present: pose-graph backend only
+    graph = KeyframeGraph(cam, cfg, loop_detector=loop_detector,
+                          windowed_ba=windowed_ba,
+                          log=print if verbose else None)
+    return KeyframeTracker(cam, cfg, graph=graph,
+                           keyframe_feature_hook=feature_hook, verbose=verbose)
 
 
 def run(folder: str, association: str, cam_name: str, cfg: SlamConfig,
