@@ -7,3 +7,8 @@ fixed-capacity graphs, pjit/shard_map scale-out).
 """
 
 __version__ = "0.1.0"
+
+# SLAM numerics need true f32 matmuls: the MXU's default bf16 passes flip
+# borderline kernel-threshold gates and degrade the flow integration.
+import jax as _jax
+_jax.config.update("jax_default_matmul_precision", "highest")

@@ -177,8 +177,10 @@ class KeyframeGraph:
 
     def insert_loop_closure(self, ref: Keyframe, cand: Keyframe,
                             result: TrackingResult):
-        """insertLoopClosureConstraint (keyframe_graph.cpp:1581-1607)."""
-        self._add_edge(result, cand.id, ref.id)
+        """insertLoopClosureConstraint (keyframe_graph.cpp:1581-1607):
+        vertex 0 = reference (the new keyframe), vertex 1 = candidate;
+        measurement maps candidate points into the reference frame."""
+        self._add_edge(result, ref.id, cand.id)
 
     # -- bundleAdjustmentForAllKeyframes (keyframe_graph.cpp:1267-1431)
     def bundle_adjustment_all_keyframes(self):

@@ -35,6 +35,11 @@ from ..ops import cubic, pairwise, se3
 from ..frontend.pointcloud import PointCloudHost
 
 
+def default_backend() -> str:
+    """'pallas' on TPU (fused VMEM-resident kernels), 'xla' elsewhere."""
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
 class PointCloud(NamedTuple):
     """Device-side fixed-capacity point cloud."""
     positions: jnp.ndarray  # (CAP, 3) f32
@@ -56,9 +61,9 @@ class AlignResult(NamedTuple):
     nnz: jnp.ndarray        # A_nonzero of the last flow evaluation
 
 
-@partial(jax.jit, static_argnames=("p",))
+@partial(jax.jit, static_argnames=("p", "backend"))
 def align(fixed: PointCloud, moving: PointCloud, R0, T0, ell0,
-          p: CvoParams) -> AlignResult:
+          p: CvoParams, backend: str = "xla") -> AlignResult:
     """RKHS-SE(3) gradient-flow registration (cvo.cpp:763-821)."""
     x, fx, mx = fixed.positions, fixed.features, fixed.mask
     y0, fy, my = moving.positions, moving.features, moving.mask
@@ -69,8 +74,13 @@ def align(fixed: PointCloud, moving: PointCloud, R0, T0, ell0,
         Rt = R.T
         Tt = -(Rt @ T)
         y = y0 @ R + Tt[None, :]          # y0 @ (R^T)^T
-        omega, v, A, nnz_k = pairwise.flow(x, y, fx, fy, mx, my, ell, p)
-        B, C, D, E = pairwise.step_coeffs(x, y, A, omega, v, ell)
+        if backend == "pallas":
+            from . import pallas_kernels as pk
+            omega, v, nnz_k = pk.flow(x, y, fx, fy, mx, my, ell, p)
+            B, C, D, E = pk.step_coeffs(x, y, fx, fy, mx, my, omega, v, ell, p)
+        else:
+            omega, v, A, nnz_k = pairwise.flow(x, y, fx, fy, mx, my, ell, p)
+            B, C, D, E = pairwise.step_coeffs(x, y, A, omega, v, ell)
         step = cubic.min_positive_root_or(4.0 * E, 3.0 * D, 2.0 * C, B,
                                           p.min_step, p.max_step)
         # stop 1: flow norms below eps (:782) — break before the pose update
@@ -143,9 +153,25 @@ def hessian_postprocess(H_raw, inliers, p: CvoParams):
     return jnp.where(inliers > 0, H, jnp.eye(6, dtype=H.dtype))
 
 
-@partial(jax.jit, static_argnames=("p",))
+def _ip(xa, fa, ma, xb, fb, mb, ell, p, backend):
+    if backend == "pallas":
+        from . import pallas_kernels as pk
+        return pk.pair_stats(xa, fa, ma, xb, fb, mb, ell, p)
+    return pairwise.inner_product(xa, fa, ma, xb, fb, mb, ell, p)
+
+
+def _hess_raw(xa, fa, ma, xb, fb, mb, ell, p, backend):
+    if backend == "pallas":
+        from . import pallas_kernels as pk
+        _, _, G, inliers = pk.pair_stats(xa, fa, ma, xb, fb, mb, ell, p,
+                                         with_moments=True)
+        return pairwise.assemble_hessian(G, ell), inliers
+    return pairwise.se3_hessian_raw(xa, fa, ma, xb, fb, mb, ell, p)
+
+
+@partial(jax.jit, static_argnames=("p", "backend"))
 def compute_innerproduct(fixed: PointCloud, moving: PointCloud, tran, ell,
-                         p: CvoParams):
+                         p: CvoParams, backend: str = "xla"):
     """Reference compute_innerproduct (cvo.cpp:475-503): inner products
     before/after registration, self-norms, cos angle, and the post-Hessian.
 
@@ -154,13 +180,13 @@ def compute_innerproduct(fixed: PointCloud, moving: PointCloud, tran, ell,
     y, fy, my = moving.positions, moving.features, moving.mask
     yt = se3.transform_points(tran, y)
 
-    pre_v, pre_n = pairwise.inner_product(y, fy, my, x, fx, mx, ell, p)
-    post_v, post_n = pairwise.inner_product(yt, fy, my, x, fx, mx, ell, p)
-    fixed_v, fixed_n = pairwise.inner_product(x, fx, mx, x, fx, mx, ell, p)
-    moving_v, moving_n = pairwise.inner_product(y, fy, my, y, fy, my, ell, p)
+    pre_v, pre_n = _ip(y, fy, my, x, fx, mx, ell, p, backend)
+    post_v, post_n = _ip(yt, fy, my, x, fx, mx, ell, p, backend)
+    fixed_v, fixed_n = _ip(x, fx, mx, x, fx, mx, ell, p, backend)
+    moving_v, moving_n = _ip(y, fy, my, y, fy, my, ell, p, backend)
     cos_angle = post_v / (jnp.sqrt(fixed_v) * jnp.sqrt(moving_v))
 
-    H_raw, inliers = pairwise.se3_hessian_raw(yt, fy, my, x, fx, mx, ell, p)
+    H_raw, inliers = _hess_raw(yt, fy, my, x, fx, mx, ell, p, backend)
     post_hessian = hessian_postprocess(H_raw, inliers, p)
     return dict(inn_pre=pre_v, inn_pre_num=pre_n, inn_post=post_v,
                 inn_post_num=post_n, inn_fixed=fixed_v, inn_moving=moving_v,
@@ -168,10 +194,10 @@ def compute_innerproduct(fixed: PointCloud, moving: PointCloud, tran, ell,
                 inliers=inliers)
 
 
-@partial(jax.jit, static_argnames=("p",))
+@partial(jax.jit, static_argnames=("p", "backend"))
 def compute_innerproduct_lc(fixed: PointCloud, moving: PointCloud,
                             prior_tran, lc_prior_tran, lc_prior_tran_2,
-                            lc_tran, ell, p: CvoParams):
+                            lc_tran, ell, p: CvoParams, backend: str = "xla"):
     """Reference compute_innerproduct_lc (cvo.cpp:505-561): inner products of
     the moving cloud under four transforms against the fixed cloud, plus the
     post-Hessian (with inlier counts) for the CVO result and the second
@@ -184,17 +210,17 @@ def compute_innerproduct_lc(fixed: PointCloud, moving: PointCloud,
     y_lcp2 = se3.transform_points(lc_prior_tran_2, y)
     y_lc = se3.transform_points(lc_tran, y)
 
-    prior_v, _ = pairwise.inner_product(y_prior, fy, my, x, fx, mx, ell, p)
-    lcp_v, _ = pairwise.inner_product(y_lcp, fy, my, x, fx, mx, ell, p)
-    pre_v, _ = pairwise.inner_product(y, fy, my, x, fx, mx, ell, p)
-    post_v, _ = pairwise.inner_product(y_lc, fy, my, x, fx, mx, ell, p)
-    fixed_v, _ = pairwise.inner_product(x, fx, mx, x, fx, mx, ell, p)
-    moving_v, _ = pairwise.inner_product(y, fy, my, y, fy, my, ell, p)
+    prior_v, _ = _ip(y_prior, fy, my, x, fx, mx, ell, p, backend)
+    lcp_v, _ = _ip(y_lcp, fy, my, x, fx, mx, ell, p, backend)
+    pre_v, _ = _ip(y, fy, my, x, fx, mx, ell, p, backend)
+    post_v, _ = _ip(y_lc, fy, my, x, fx, mx, ell, p, backend)
+    fixed_v, _ = _ip(x, fx, mx, x, fx, mx, ell, p, backend)
+    moving_v, _ = _ip(y, fy, my, y, fy, my, ell, p, backend)
     cos_angle = post_v / (jnp.sqrt(fixed_v) * jnp.sqrt(moving_v))
 
-    H_raw, inliers_svd = pairwise.se3_hessian_raw(y_lc, fy, my, x, fx, mx, ell, p)
+    H_raw, inliers_svd = _hess_raw(y_lc, fy, my, x, fx, mx, ell, p, backend)
     post_hessian = hessian_postprocess(H_raw, inliers_svd, p)
-    _, inliers_pnp = pairwise.se3_hessian_raw(y_lcp2, fy, my, x, fx, mx, ell, p)
+    _, inliers_pnp = _hess_raw(y_lcp2, fy, my, x, fx, mx, ell, p, backend)
     return dict(inn_prior=prior_v, inn_lc_prior=lcp_v, inn_lc_pre=pre_v,
                 inn_lc_post=post_v, inn_fixed=fixed_v, inn_moving=moving_v,
                 cos_angle=cos_angle, post_hessian=post_hessian,
@@ -226,8 +252,11 @@ class Cvo:
     ell: float = None
     iters: int = 0
     nnz: int = 0
+    backend: str = "auto"
 
     def __post_init__(self):
+        if self.backend == "auto":
+            self.backend = default_backend()
         self.R = np.eye(3, dtype=np.float32)
         self.T = np.zeros(3, dtype=np.float32)
         self.transform = np.eye(4, dtype=np.float64)
@@ -247,7 +276,7 @@ class Cvo:
 
     def _align(self):
         res = align(self.fixed, self.moving, self.R, self.T,
-                    np.float32(self.ell), self.params)
+                    np.float32(self.ell), self.params, self.backend)
         self.R = np.asarray(res.R)
         self.T = np.asarray(res.T)
         self.transform = np.asarray(res.transform, np.float64)
@@ -267,7 +296,8 @@ class Cvo:
     def compute_innerproduct(self, tran: np.ndarray):
         out = compute_innerproduct(self.fixed, self.moving,
                                    jnp.asarray(tran, jnp.float32),
-                                   np.float32(self.ell), self.params)
+                                   np.float32(self.ell), self.params,
+                                   self.backend)
         return {k: np.asarray(v) for k, v in out.items()}
 
     def compute_innerproduct_lc(self, prior, lc_prior, lc_prior_2, lc_tran):
@@ -275,7 +305,7 @@ class Cvo:
             self.fixed, self.moving,
             jnp.asarray(prior, jnp.float32), jnp.asarray(lc_prior, jnp.float32),
             jnp.asarray(lc_prior_2, jnp.float32), jnp.asarray(lc_tran, jnp.float32),
-            np.float32(self.ell), self.params)
+            np.float32(self.ell), self.params, self.backend)
         return {k: np.asarray(v) for k, v in out.items()}
 
     # -- state plumbing (cvo.cpp:578-618)

@@ -29,9 +29,13 @@ def _base_scene(cam: CameraConfig, rng):
 
 
 def make_sequence(folder: str, cam: CameraConfig, n_frames: int = 12,
-                  seed: int = 7, step_twist=None):
+                  seed: int = 7, step_twist=None, trajectory=None):
     """Create a synthetic sequence under `folder`. Returns the ground-truth
-    cam->world poses (N,4,4)."""
+    cam->world poses (N,4,4).
+
+    trajectory: optional explicit list of per-frame world->cam transforms
+    G_k (p_k = G_k p_0); overrides the constant step_twist walk — lets tests
+    build loops that revisit the start."""
     os.makedirs(os.path.join(folder, "rgb"), exist_ok=True)
     os.makedirs(os.path.join(folder, "depth"), exist_ok=True)
     rng = np.random.default_rng(seed)
@@ -49,7 +53,11 @@ def make_sequence(folder: str, cam: CameraConfig, n_frames: int = 12,
 
     assoc, gt = [], []
     G = np.eye(4)   # frame k camera pose relative to frame 0: p_k = G p_0
+    if trajectory is not None:
+        n_frames = len(trajectory)
     for k in range(n_frames):
+        if trajectory is not None:
+            G = np.asarray(trajectory[k], np.float64)
         ts = f"{1000.0 + 0.05 * k:.6f}"
         if k == 0:
             bgr, depth = bgr0, (z0 * cam.depth_factor).astype(np.uint16)

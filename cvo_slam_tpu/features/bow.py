@@ -1,0 +1,234 @@
+"""Bag-of-binary-words vocabulary (DBoW2-equivalent).
+
+Functional re-expression of the reference place-recognition layer
+(/root/reference/thirdparty/ORB_SLAM2/Thirdparty/DBoW2,
+TemplatedVocabulary.h): a k-ary hierarchical vocabulary over 256-bit
+descriptors with TF-IDF weighting, `transform(descriptors, levelsup)`
+producing (BowVector, FeatureVector) and L1 similarity scoring
+(ScoringObject.h L1Scoring: s = 1 - 0.5 |v/|v| - w/|w||_1).
+
+The reference ships no vocabulary (ORBvoc.txt is a missing large blob,
+.MISSING_LARGE_BLOBS); we support the DBoW2 text format when a file is
+provided and otherwise train a per-run vocabulary online from the first
+keyframe's descriptors (hierarchical binary k-means, majority-bit centroids)
+— self-consistent place recognition within the mapped sequence, which is all
+loop closure needs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+_POPCOUNT = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                          axis=1).sum(1).astype(np.uint8)
+
+
+def hamming(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pairwise Hamming distances between (Na,32) and (Nb,32) uint8."""
+    x = np.bitwise_xor(a[:, None, :], b[None, :, :])
+    return _POPCOUNT[x].sum(axis=-1).astype(np.int32)
+
+
+def _majority_centroid(descs: np.ndarray) -> np.ndarray:
+    bits = np.unpackbits(descs, axis=1)
+    maj = (bits.sum(0) * 2 >= len(descs)).astype(np.uint8)
+    return np.packbits(maj)
+
+
+class Vocabulary:
+    """Array-form k-ary tree: node 0 is the root."""
+
+    def __init__(self, k: int, L: int):
+        self.k = k
+        self.L = L
+        self.children: list = [[]]        # per node: list of child node ids
+        self.node_desc = [np.zeros(32, np.uint8)]
+        self.node_weight = [0.0]
+        self.node_depth = [0]
+        self.word_of_node: Dict[int, int] = {}
+        self.node_of_word: list = []
+        self._packed = None
+
+    # -- training ----------------------------------------------------------
+    def _new_node(self, parent_depth: int, desc: np.ndarray) -> int:
+        nid = len(self.children)
+        self.children.append([])
+        self.node_desc.append(desc)
+        self.node_weight.append(0.0)
+        self.node_depth.append(parent_depth + 1)
+        return nid
+
+    @staticmethod
+    def train(descriptors: np.ndarray, k: int = 10, L: int = 3,
+              seed: int = 42) -> "Vocabulary":
+        """Hierarchical binary k-means (k-means++ seeding, majority-bit
+        centroids) — the DBoW2 creation recipe on our own data."""
+        rng = np.random.default_rng(seed)
+        voc = Vocabulary(k, L)
+
+        def kmeans(descs, kk, iters=8):
+            n = len(descs)
+            if n <= kk:
+                return [np.array([i]) for i in range(n)], descs.copy()
+            # k-means++ seeding
+            centers = [descs[rng.integers(n)]]
+            for _ in range(kk - 1):
+                d = hamming(descs, np.array(centers)).min(axis=1).astype(np.float64)
+                if d.sum() == 0:
+                    centers.append(descs[rng.integers(n)])
+                    continue
+                centers.append(descs[rng.choice(n, p=d / d.sum())])
+            C = np.array(centers)
+            for _ in range(iters):
+                assign = hamming(descs, C).argmin(axis=1)
+                newC = []
+                for c in range(kk):
+                    m = assign == c
+                    newC.append(_majority_centroid(descs[m]) if m.any()
+                                else descs[rng.integers(n)])
+                C2 = np.array(newC)
+                if np.array_equal(C2, C):
+                    break
+                C = C2
+            assign = hamming(descs, C).argmin(axis=1)
+            groups = [np.flatnonzero(assign == c) for c in range(kk)]
+            return [g for g in groups if len(g)], C
+
+        def build(node, descs, depth):
+            if depth == L or len(descs) == 0:
+                wid = len(voc.node_of_word)
+                voc.word_of_node[node] = wid
+                voc.node_of_word.append(node)
+                return
+            groups, _ = kmeans(descs, k)
+            for g in groups:
+                child = voc._new_node(depth, _majority_centroid(descs[g]))
+                voc.children[node].append(child)
+                build(child, descs[g], depth + 1)
+
+        build(0, np.asarray(descriptors, np.uint8), 0)
+        # uniform idf (single training "document"); relative BoW scores are
+        # what the LC gate uses (LC_MinScoreRatio), so the scale cancels
+        for node in voc.node_of_word:
+            voc.node_weight[node] = 1.0
+        voc._pack()
+        return voc
+
+    def _pack(self):
+        n = len(self.children)
+        kmax = max((len(c) for c in self.children), default=1) or 1
+        child_arr = np.full((n, kmax), -1, np.int64)
+        for i, c in enumerate(self.children):
+            child_arr[i, :len(c)] = c
+        self._packed = (child_arr, np.array(self.node_desc, np.uint8),
+                        np.array(self.node_weight, np.float64),
+                        np.array(self.node_depth, np.int32))
+
+    # -- runtime -----------------------------------------------------------
+    def transform(self, descriptors: np.ndarray, levelsup: int = 4):
+        """(BowVector word->weight L1-normalized, FeatureVector node->[kp idx])
+        — TemplatedVocabulary::transform(features, bv, fv, levelsup)."""
+        child_arr, node_desc, node_weight, node_depth = self._packed
+        nd = len(descriptors)
+        bow: Dict[int, float] = {}
+        fv: Dict[int, list] = {}
+        if nd == 0:
+            return bow, fv
+        descs = np.asarray(descriptors, np.uint8)
+        cur = np.zeros(nd, np.int64)
+        nid_level = max(self.L - levelsup, 0)
+        nid = np.zeros(nd, np.int64)
+        for depth in range(self.L):
+            ch = child_arr[cur]                       # (nd, kmax)
+            has = ch >= 0
+            if not has.any():
+                break
+            # hamming to each child's centroid
+            cd = node_desc[np.where(has, ch, 0)]      # (nd, kmax, 32)
+            x = np.bitwise_xor(cd, descs[:, None, :])
+            dist = _POPCOUNT[x].sum(axis=-1).astype(np.int32)
+            dist = np.where(has, dist, 1 << 30)
+            nxt = np.take_along_axis(ch, dist.argmin(axis=1)[:, None],
+                                     axis=1)[:, 0]
+            cur = np.where(has.any(axis=1), nxt, cur)
+            if depth == nid_level:
+                nid = cur.copy()
+        for i in range(nd):
+            node = int(cur[i])
+            wid = self.word_of_node.get(node)
+            if wid is None:
+                continue
+            w = node_weight[node]
+            if w > 0:
+                bow[wid] = bow.get(wid, 0.0) + w
+            fv.setdefault(int(nid[i]), []).append(i)
+        total = sum(bow.values())
+        if total > 0:
+            bow = {k: v / total for k, v in bow.items()}
+        return bow, fv
+
+    @staticmethod
+    def score(v1: Dict[int, float], v2: Dict[int, float]) -> float:
+        """L1 similarity (ScoringObject L1Scoring on L1-normalized vectors)."""
+        s = 0.0
+        for w, x in v1.items():
+            y = v2.get(w)
+            if y is not None:
+                s += abs(x) + abs(y) - abs(x - y)
+        return 0.5 * s
+
+
+def load_orbvoc_text(path: str) -> Vocabulary:
+    """DBoW2 text format: header 'k L scoring weighting'; one line per node:
+    'parent_id is_leaf d0..d31 weight' (TemplatedVocabulary::loadFromTextFile,
+    TemplatedVocabulary.h:1338)."""
+    with open(path) as f:
+        header = f.readline().split()
+        k, L = int(header[0]), int(header[1])
+        voc = Vocabulary(k, L)
+        for line in f:
+            parts = line.split()
+            if len(parts) < 35:
+                continue
+            parent = int(parts[0])
+            is_leaf = int(parts[1])
+            desc = np.array([int(v) for v in parts[2:34]], np.uint8)
+            weight = float(parts[34])
+            nid = voc._new_node(voc.node_depth[parent], desc)
+            voc.children[parent].append(nid)
+            voc.node_weight[nid] = weight
+            if is_leaf:
+                wid = len(voc.node_of_word)
+                voc.word_of_node[nid] = wid
+                voc.node_of_word.append(nid)
+    voc._pack()
+    return voc
+
+
+# online default vocabulary: trains itself on the first keyframe's descriptors
+class LazyVocabulary:
+
+    def __init__(self, k: int = 10, L: int = 3):
+        self.k, self.L = k, L
+        self._voc: Optional[Vocabulary] = None
+
+    def ensure(self, descriptors: np.ndarray):
+        if self._voc is None and len(descriptors) >= self.k:
+            self._voc = Vocabulary.train(descriptors, self.k, self.L)
+
+    def transform(self, descriptors: np.ndarray, levelsup: int = 4):
+        self.ensure(descriptors)
+        if self._voc is None:
+            return {}, {}
+        return self._voc.transform(descriptors, levelsup)
+
+    @staticmethod
+    def score(v1, v2):
+        return Vocabulary.score(v1, v2)
+
+
+def default_vocabulary() -> LazyVocabulary:
+    return LazyVocabulary()

@@ -1,0 +1,111 @@
+"""Feature layer: ORB extraction, BoW vocabulary, matcher geometry."""
+
+import numpy as np
+import pytest
+import cv2
+
+from cvo_slam_tpu.config import CameraConfig, SlamConfig
+from cvo_slam_tpu.features import bow
+from cvo_slam_tpu.features.orb import OrbExtractor, OrbParams
+from cvo_slam_tpu.features.matcher import (Matcher, kabsch, match_bow,
+                                           optimize_relative_transformation)
+from cvo_slam_tpu.tracking.types import Keyframe
+
+
+def checkerboard_scene(seed=0, h=240, w=320):
+    rng = np.random.default_rng(seed)
+    img = np.zeros((h, w), np.uint8)
+    for _ in range(120):
+        x, y = rng.integers(10, w - 20), rng.integers(10, h - 20)
+        s = rng.integers(4, 12)
+        img[y:y + s, x:x + s] = rng.integers(60, 255)
+    return img
+
+
+@pytest.fixture(scope="module")
+def orb_kf():
+    gray = checkerboard_scene()
+    depth = np.full(gray.shape, 2.0, np.float32)
+    ext = OrbExtractor(OrbParams(n_features=500, n_levels=4))
+    sel = np.array([[10, 10]], np.int32)
+    kp, ang, desc = ext.extract(gray, depth, sel)
+    return gray, depth, kp, ang, desc
+
+
+def test_orb_extract_basics(orb_kf):
+    gray, depth, kp, ang, desc = orb_kf
+    assert len(kp) > 50
+    assert desc.shape == (len(kp), 32)
+    assert np.all(kp[:, 0] < gray.shape[1]) and np.all(kp[:, 1] < gray.shape[0])
+    # deterministic
+    ext = OrbExtractor(OrbParams(n_features=500, n_levels=4))
+    kp2, _, desc2 = ext.extract(gray, depth, np.array([[10, 10]], np.int32))
+    np.testing.assert_array_equal(kp, kp2)
+    np.testing.assert_array_equal(desc, desc2)
+
+
+def test_orb_empty_selection_rejects_all(orb_kf):
+    gray, depth, *_ = orb_kf
+    ext = OrbExtractor(OrbParams(n_features=500, n_levels=4))
+    kp, _, _ = ext.extract(gray, depth, np.zeros((0, 2), np.int32))
+    assert len(kp) == 0
+
+
+def test_vocabulary_roundtrip(orb_kf):
+    *_, desc = orb_kf
+    voc = bow.Vocabulary.train(desc, k=5, L=3)
+    v1, fv1 = voc.transform(desc)
+    assert len(v1) > 0 and len(fv1) > 0
+    assert bow.Vocabulary.score(v1, v1) == pytest.approx(1.0, abs=1e-6)
+    # different descriptors score lower than self
+    v2, _ = voc.transform(desc[: len(desc) // 3])
+    s12 = bow.Vocabulary.score(v1, v2)
+    assert 0.0 < s12 <= 1.0
+
+
+def test_match_bow_identical_keyframes(orb_kf):
+    gray, depth, kp, ang, desc = orb_kf
+    voc = bow.Vocabulary.train(desc, k=5, L=3)
+    bv, fv = voc.transform(desc)
+    kf = Keyframe(id=0, timestamp="0", pose=np.eye(4), gray=gray,
+                  depth_m=depth, keypoints=kp, kp_angle=ang, descriptors=desc,
+                  bow_vec=bv, feat_vec=fv)
+    pairs = match_bow(kf, kf, nn_ratio=0.9)
+    assert len(pairs) > 30
+    # identical keyframes match onto themselves
+    frac_self = np.mean(pairs[:, 0] == pairs[:, 1])
+    assert frac_self > 0.9
+
+
+def test_kabsch_recovers_transform():
+    rng = np.random.default_rng(0)
+    src = rng.uniform(-1, 1, (10, 3))
+    ang = 0.4
+    R = np.array([[np.cos(ang), -np.sin(ang), 0],
+                  [np.sin(ang), np.cos(ang), 0], [0, 0, 1]])
+    t = np.array([0.2, -0.1, 0.5])
+    dst = src @ R.T + t
+    T = kabsch(src, dst)
+    np.testing.assert_allclose(T[:3, :3], R, atol=1e-9)
+    np.testing.assert_allclose(T[:3, 3], t, atol=1e-9)
+
+
+def test_pose_refinement_improves():
+    rng = np.random.default_rng(1)
+    n = 40
+    pts = rng.uniform(-1, 1, (n, 3)) + np.array([0, 0, 3.0])
+    K = np.array([[300.0, 0, 160], [0, 300.0, 120], [0, 0, 1]])
+    from cvo_slam_tpu.ops import se3
+    import jax.numpy as jnp
+    xi = np.array([0.03, -0.02, 0.04, 0.1, -0.05, 0.08], np.float32)
+    T_true = np.asarray(se3.exp_se3(jnp.asarray(xi)), np.float64)
+    E_true = np.linalg.inv(T_true)
+    P = pts @ E_true[:3, :3].T + E_true[:3, 3]
+    uv = (P @ K.T)
+    uv = uv[:, :2] / uv[:, 2:3]
+    T0 = np.eye(4)   # poor initial guess
+    T_ref = optimize_relative_transformation(
+        uv, pts, np.ones(8), np.zeros(n, int), K, T0, delta=0.0)
+    err = np.linalg.norm(T_ref - T_true)
+    err0 = np.linalg.norm(T0 - T_true)
+    assert err < 0.05 * err0

@@ -1,0 +1,76 @@
+"""Parity: fused Pallas kernels vs the jnp reference ops (interpret mode)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from cvo_slam_tpu.config import CvoParams
+from cvo_slam_tpu.ops import pairwise
+from cvo_slam_tpu.cvo import pallas_kernels as pk
+from tests.test_pairwise import make_clouds
+
+P = CvoParams()
+CAP = 256
+
+
+def clouds(seed, n=200, m=180):
+    x, fx, mx, y, fy, my = make_clouds(seed, n, m, cap=CAP)
+    return (jnp.asarray(x), jnp.asarray(fx), jnp.asarray(mx),
+            jnp.asarray(y), jnp.asarray(fy), jnp.asarray(my))
+
+
+@pytest.mark.parametrize("ell", [0.15, 0.06])
+def test_flow_parity(ell):
+    x, fx, mx, y, fy, my = clouds(0)
+    o_ref, v_ref, A_ref, nnz_ref = pairwise.flow(x, y, fx, fy, mx, my,
+                                                 jnp.float32(ell), P)
+    with pltpu.force_tpu_interpret_mode():
+        o, v, nnz = pk.flow(x, y, fx, fy, mx, my, jnp.float32(ell), P)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref),
+                               rtol=1e-4, atol=1e-6)
+    assert int(nnz) == int(nnz_ref)
+
+
+def test_step_parity():
+    ell = 0.10
+    x, fx, mx, y, fy, my = clouds(1)
+    rng = np.random.default_rng(2)
+    omega = jnp.asarray(rng.normal(0, 0.1, 3), jnp.float32)
+    v = jnp.asarray(rng.normal(0, 0.1, 3), jnp.float32)
+    A_ref, _ = pairwise.cvo_kernel(x, y, fx, fy, mx, my, jnp.float32(ell), P)
+    ref = pairwise.step_coeffs(x, y, A_ref, omega, v, jnp.float32(ell))
+    with pltpu.force_tpu_interpret_mode():
+        got = pk.step_coeffs(x, y, fx, fy, mx, my, omega, v,
+                             jnp.float32(ell), P)
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(float(g), float(r), rtol=2e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("with_moments", [False, True])
+def test_pair_stats_parity(with_moments):
+    ell = 0.15
+    x, fx, mx, y, fy, my = clouds(3)
+    val_ref, num_ref = pairwise.inner_product(x, fx, mx, y, fy, my,
+                                              jnp.float32(ell), P)
+    with pltpu.force_tpu_interpret_mode():
+        out = pk.pair_stats(x, fx, mx, y, fy, my, jnp.float32(ell), P,
+                            with_moments=with_moments)
+    np.testing.assert_allclose(float(out[0]), float(val_ref), rtol=1e-4)
+    assert int(out[1]) == int(num_ref)
+    if with_moments:
+        G_ref, inl_ref = pairwise.hessian_moments(x, fx, mx, y, fy, my,
+                                                  jnp.float32(ell), P)
+        G = np.asarray(out[2])
+        scale = max(np.abs(np.asarray(G_ref)).max(), 1.0)
+        np.testing.assert_allclose(G / scale, np.asarray(G_ref) / scale,
+                                   atol=1e-5)
+        # Hessian assembled from the pallas moments matches the reference raw H
+        H_ref, _ = pairwise.se3_hessian_raw(x, fx, mx, y, fy, my,
+                                            jnp.float32(ell), P)
+        H = pairwise.assemble_hessian(jnp.asarray(G), jnp.float32(ell))
+        hs = max(np.abs(np.asarray(H_ref)).max(), 1.0)
+        np.testing.assert_allclose(np.asarray(H) / hs, np.asarray(H_ref) / hs,
+                                   atol=1e-4)
