@@ -92,8 +92,16 @@ def _pair_tile(xs, fs, ms, Y, FY, MY, ell, d2t, d2ct, p: CvoParams):
     # saves half the transcendental work vs the reference's two exps; equal
     # to within f32 rounding. The geometric k alone (Hessian weight) is
     # recovered by the caller with its own exp when needed.
+    #
+    # The argument is clamped at -20: any pair passing the geometric+color
+    # gates has arg >= ln(sp_thres/sigma^2) + ln(sp_thres/c_sigma^2) ~ -5.05
+    # (the gates are derived from exactly these exponents, cvo.cpp:125-126),
+    # so the clamp is exact for every used value — and it dodges the TPU
+    # exp() slow path for large-magnitude arguments (35x latency cliff
+    # below ~-50, measured on v5e).
+    arg = -(d2 / (2.0 * ell * ell) + d2c / (2.0 * p.c_ell * p.c_ell))
     joint = (p.sigma * p.sigma * p.c_sigma * p.c_sigma) * jnp.exp(
-        -(d2 / (2.0 * ell * ell) + d2c / (2.0 * p.c_ell * p.c_ell)))
+        jnp.maximum(arg, -20.0))
     return gate, joint, d2
 
 
@@ -285,7 +293,8 @@ def _stats_kernel(ell_ref, X, F, M, U, Y, FY, MY, UB, out_s, out_g, *,
         cdot = jax.lax.dot_general(F[:], FY[:], contract,
                                    preferred_element_type=jnp.float32,
                              precision=jax.lax.Precision.HIGHEST)
-        k = (p.sigma * p.sigma) * jnp.exp(-d2 / (2.0 * ell * ell))
+        k = (p.sigma * p.sigma) * jnp.exp(
+            jnp.maximum(-d2 / (2.0 * ell * ell), -20.0))
         W = jnp.where(gate, k * cdot, 0.0)             # (TN, CAP)
         WU = jax.lax.dot_general(W, UB[:], (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32,

@@ -83,9 +83,13 @@ def make_hists(absgrad0: np.ndarray) -> np.ndarray:
     gb = g[:h32 * 32, :w32 * 32].reshape(h32, 32, w32, 32)
     vb = valid[:h32 * 32, :w32 * 32].reshape(h32, 32, w32, 32)
 
-    # histogram over 49 bins (g in 0..48) per block
-    onehot = (gb[..., None] == np.arange(49)) & vb[..., None]
-    hist = onehot.sum(axis=(1, 3)).astype(np.int64)   # (h32, w32, 49)
+    # histogram over 49 bins (g in 0..48) per block via a single bincount
+    # over block_index*49 + g (the one-hot formulation costs ~40 ms/frame)
+    block_id = (np.arange(h32)[:, None, None, None] * w32
+                + np.arange(w32)[None, None, :, None])
+    flat_keys = (block_id * 49 + gb)[vb]
+    hist = np.bincount(flat_keys.ravel(),
+                       minlength=h32 * w32 * 49).reshape(h32, w32, 49)
     total = hist.sum(axis=-1)
 
     # computeHistQuantil (PixelSelector2.cpp:59-68): th = int(total*below+0.5);

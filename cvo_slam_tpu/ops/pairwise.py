@@ -59,8 +59,13 @@ def _pair_mask_and_kernels(x, y, fx, fy, mx, my, ell, p: CvoParams):
     d2c = _pairwise_sq_dists(fx, fy)
     gate = (d2 < d2_threshold(ell, p)) & (d2c < d2_color_threshold(p))
     gate = gate & mx[:, None] & my[None, :]
-    k = (p.sigma * p.sigma) * jnp.exp(-d2 / (2.0 * ell * ell))
-    ck = (p.c_sigma * p.c_sigma) * jnp.exp(-d2c / (2.0 * p.c_ell * p.c_ell))
+    # exponent clamps are exact for every pair passing the gates (the gate
+    # thresholds bound the exponents at ~-5) and dodge the TPU exp() latency
+    # cliff for large-magnitude arguments
+    k = (p.sigma * p.sigma) * jnp.exp(
+        jnp.maximum(-d2 / (2.0 * ell * ell), -20.0))
+    ck = (p.c_sigma * p.c_sigma) * jnp.exp(
+        jnp.maximum(-d2c / (2.0 * p.c_ell * p.c_ell), -20.0))
     return gate, k, ck, d2, d2c
 
 
