@@ -46,6 +46,12 @@ def build_tracker(cam, cfg, verbose=False):
     graph = KeyframeGraph(cam, cfg, loop_detector=loop_detector,
                           windowed_ba=windowed_ba,
                           log=print if verbose else None)
+    if cfg.UseMultiThreading:
+        # working replacement for the reference's broken TBB pipeline
+        # (keyframe_graph.cpp:2091-2095): backend consumes completed local
+        # maps on a worker thread; writers flush the queue first
+        from ..parallel.async_backend import AsyncKeyframeGraph
+        graph = AsyncKeyframeGraph(graph)
     return KeyframeTracker(cam, cfg, graph=graph,
                            keyframe_feature_hook=feature_hook, verbose=verbose)
 

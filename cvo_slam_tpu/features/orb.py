@@ -286,24 +286,30 @@ class OrbExtractor:
         return (kp, np.concatenate(out_ang), np.concatenate(out_desc))
 
 
-def keyframe_feature_hook(cam: CameraConfig, cfg: SlamConfig):
+class KeyframeFeatureHook:
     """Hook attached to LocalTracker keyframe creation: ORB extraction + BoW
-    (local_tracker.cpp:292-300)."""
-    extractor = OrbExtractor(OrbParams(
-        n_features=cam.orb_n_features, scale_factor=cam.orb_scale_factor,
-        n_levels=cam.orb_n_levels, ini_th_fast=cam.orb_ini_th_fast,
-        min_th_fast=cam.orb_min_th_fast,
-        keypoint_distance=cam.orb_keypoint_distance))
-    from .bow import default_vocabulary
+    (local_tracker.cpp:292-300). Exposed as an object so the vocabulary can
+    be checkpointed/restored alongside the session."""
 
-    voc = default_vocabulary()
+    def __init__(self, cam: CameraConfig, cfg: SlamConfig, vocabulary=None):
+        self.extractor = OrbExtractor(OrbParams(
+            n_features=cam.orb_n_features, scale_factor=cam.orb_scale_factor,
+            n_levels=cam.orb_n_levels, ini_th_fast=cam.orb_ini_th_fast,
+            min_th_fast=cam.orb_min_th_fast,
+            keypoint_distance=cam.orb_keypoint_distance))
+        if vocabulary is None:
+            from .bow import default_vocabulary
+            vocabulary = default_vocabulary()
+        self.voc = vocabulary
 
-    def hook(kf):
-        kp, ang, desc = extractor.extract(kf.gray, kf.depth_m,
-                                          kf.selected_pixels)
+    def __call__(self, kf):
+        kp, ang, desc = self.extractor.extract(kf.gray, kf.depth_m,
+                                               kf.selected_pixels)
         kf.keypoints = kp
         kf.kp_angle = ang
         kf.descriptors = desc
-        kf.bow_vec, kf.feat_vec = voc.transform(desc, levelsup=4)
+        kf.bow_vec, kf.feat_vec = self.voc.transform(desc, levelsup=4)
 
-    return hook
+
+def keyframe_feature_hook(cam: CameraConfig, cfg: SlamConfig):
+    return KeyframeFeatureHook(cam, cfg)
