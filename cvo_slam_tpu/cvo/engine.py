@@ -83,25 +83,34 @@ def align(fixed: PointCloud, moving: PointCloud, R0, T0, ell0,
             B, C, D, E = pairwise.step_coeffs(x, y, A, omega, v, ell)
         step = cubic.min_positive_root_or(4.0 * E, 3.0 * D, 2.0 * C, B,
                                           p.min_step, p.max_step)
+        # NOTE: every state update is gated on `active = ~done` so that under
+        # vmap (batched multi-sequence alignment, where the while_loop keeps
+        # running until ALL batch elements converge) already-converged
+        # elements stay frozen. Solo semantics are unchanged (the loop exits
+        # on done anyway).
+        active = ~done
         # stop 1: flow norms below eps (:782) — break before the pose update
-        stop1 = (jnp.linalg.norm(omega) < p.eps) & (jnp.linalg.norm(v) < p.eps)
+        stop1 = active & (jnp.linalg.norm(omega) < p.eps) \
+            & (jnp.linalg.norm(v) < p.eps)
+        do_update = active & (~stop1)
 
         dtrans = se3.exp_sek3(jnp.concatenate([omega, v]), step)
         dR = dtrans[:3, :3]
         dT = dtrans[:3, 3]
-        T_new = jnp.where(stop1, T, R @ dT + T)
-        R_new = jnp.where(stop1, R, R @ dR)
+        T_new = jnp.where(do_update, R @ dT + T, T)
+        R_new = jnp.where(do_update, R @ dR, R)
         # stop 2: se3 distance of the increment below eps_2 (:804)
-        stop2 = (~stop1) & (se3.dist_se3(dR, dT) < p.eps_2)
+        stop2 = do_update & (se3.dist_se3(dR, dT) < p.eps_2)
 
-        done_new = stop1 | stop2
-        iters_new = jnp.where(done_new, k, iters)
+        done_new = done | stop1 | stop2
+        iters_new = jnp.where(active & (stop1 | stop2), k, iters)
         # ell anneal (:810-812) — skipped on break (it follows the break)
         ell_ann = jnp.where(k > p.ell_anneal_iters[0], p.ell_anneal_values[0], ell)
         ell_ann = jnp.where(k > p.ell_anneal_iters[1], p.ell_anneal_values[1], ell_ann)
         ell_ann = jnp.where(k > p.ell_anneal_iters[2], p.ell_anneal_values[2], ell_ann)
-        ell_new = jnp.where(done_new, ell, ell_ann)
-        return (k + 1, R_new, T_new, ell_new, done_new, iters_new, nnz_k)
+        ell_new = jnp.where(active & (~stop1) & (~stop2), ell_ann, ell)
+        nnz_new = jnp.where(active, nnz_k, nnz)
+        return (k + 1, R_new, T_new, ell_new, done_new, iters_new, nnz_new)
 
     def cond(carry):
         k, _, _, _, done, _, _ = carry
