@@ -247,14 +247,27 @@ def make_maps(absgrads, dx0, dy0, num_want: int,
               initial_potential: int = 3, recursions_left: int = 1,
               th_factor: float = 1.0, seed: int = 3141592):
     """Full selection with potential adaptation + random sub-sample
-    (PixelSelector2.cpp:137-286). Returns (status map, num_selected)."""
-    ths_smoothed = make_hists(absgrads[0])
+    (PixelSelector2.cpp:137-286). Returns (status map, num_selected).
+
+    The per-pixel passes run in the native C++ module when available
+    (frontend.native, ~10x the NumPy path); the recursion/subsample logic
+    stays here."""
+    from . import native
+    use_native = native.available()
+    if use_native:
+        ths_smoothed = native.make_hists(absgrads[0])
+    else:
+        ths_smoothed = make_hists(absgrads[0])
     h, w = absgrads[0].shape
     pot = initial_potential
 
     while True:
-        status, (n2, n3, n4) = select(absgrads, dx0, dy0, ths_smoothed, pot,
-                                      th_factor)
+        if use_native:
+            status, (n2, n3, n4) = native.select(absgrads, ths_smoothed, pot,
+                                                 th_factor)
+        else:
+            status, (n2, n3, n4) = select(absgrads, dx0, dy0, ths_smoothed,
+                                          pot, th_factor)
         num_have = float(n2 + n3 + n4)
         quotia = num_want / max(num_have, 1e-9)
         K = num_have * (pot + 1) * (pot + 1)

@@ -108,6 +108,7 @@ class LocalTracker:
 
         # consecutive tracking
         T_odo = self.cvo_odometry.match_odometry(cloud, pixels)
+        T_odo = self._nan_guard(T_odo, "odometry")
         ip = self.cvo_odometry.compute_innerproduct(T_odo.astype(np.float32))
         r_odometry = TrackingResult.from_innerproduct(T_odo, ip)
         self.metrics["odo_iters"] = self.cvo_odometry.iters
@@ -121,6 +122,7 @@ class LocalTracker:
         # keyframe-based tracking, warm-started (local_tracker.cpp:406-415)
         self.cvo_keyframe.reset_initial(T_odo)
         T_kf = self.cvo_keyframe.match_keyframe(cloud, pixels)
+        T_kf = self._nan_guard(T_kf, "keyframe", fallback=self._kf_prior(T_odo))
         ip2 = self.cvo_keyframe.compute_innerproduct(T_kf.astype(np.float32))
         r_keyframe = TrackingResult.from_innerproduct(T_kf, ip2)
         r_keyframe.dis_to_keyframe = self.local_map.get_frame_number()
@@ -157,6 +159,33 @@ class LocalTracker:
                     cb(self, self.local_map)
                 return self.local_map.get_current_frame_pose()
         return self.local_map.get_current_frame_pose()
+
+    # -- failure detection (SURVEY.md section 5.3: the reference has an unused
+    #    NaN check, tracking_result.h:45-48, and implicitly relies on CVO's
+    #    identity init; here a non-finite solver output falls back to the
+    #    prior transform and is recorded in metrics)
+    def _nan_guard(self, T: np.ndarray, which: str,
+                   fallback: np.ndarray = None) -> np.ndarray:
+        if np.isfinite(T).all():
+            return T
+        self.metrics[f"nan_{which}"] = self.metrics.get(f"nan_{which}", 0) + 1
+        self.log(f"WARNING: non-finite {which} transform; using prior")
+        fb = np.eye(4) if fallback is None else np.asarray(fallback, np.float64)
+        # re-seat the cvo state so subsequent warm starts stay finite
+        cvo = self.cvo_odometry if which == "odometry" else self.cvo_keyframe
+        inv = np.linalg.inv(fb)
+        cvo.R = inv[:3, :3].astype(np.float32)
+        cvo.T = inv[:3, 3].astype(np.float32)
+        cvo.transform = fb.copy()
+        return fb
+
+    def _kf_prior(self, T_odo: np.ndarray) -> np.ndarray:
+        """Prior for the keyframe transform: last keyframe transform chained
+        with the current odometry (the reset_initial warm-start guess)."""
+        prior = self.cvo_keyframe.transform
+        if not np.isfinite(prior).all():
+            return np.eye(4)
+        return prior
 
     def get_local_map(self):
         return self.local_map
