@@ -78,9 +78,12 @@ def run(folder: str, association: str, cam_name: str, cfg: SlamConfig,
             pose = tracker.update(image)
             dt = time.perf_counter() - t0
             traj.write(tum.pose_to_tum_line(image.timestamp, pose) + "\n")
+            lc_num = 0 if tracker.graph is None else tracker.graph.lc_num
             mf.write(json.dumps({
                 "frame": i, "timestamp": image.timestamp, "t_frame_s": dt,
-                **{k: int(v) for k, v in tracker.lt.metrics.items()}}) + "\n")
+                "lc_num": lc_num,
+                **{k: (float(v) if isinstance(v, float) else int(v))
+                   for k, v in tracker.lt.metrics.items()}}) + "\n")
             if verbose:
                 print(f"frame {i + 1}/{len(records)} {dt * 1e3:.1f} ms")
     wall = time.perf_counter() - t_start

@@ -1,0 +1,238 @@
+"""Distributed Schur-complement bundle adjustment.
+
+The multi-host form of backend.ba (SURVEY.md section 5.8 / BASELINE config 5):
+landmarks and their projection edges are sharded across the mesh axis; each
+device inverts its own landmark 3x3 blocks and computes its Schur corrections
+to the reduced camera system; the 6Vx6V reduced H and rhs are `psum`-reduced
+over ICI; the damped solve runs replicated; landmark back-substitution stays
+local to the owner shard. Pose edges are sharded arbitrarily.
+
+Results are bitwise-independent of the shard count up to float reduction
+order (validated against backend.ba.optimize_ba on CPU meshes in
+tests/test_ba.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..backend.ba import _pose_edge_terms, _proj_terms
+from ..ops import se3
+
+
+def _pad_axis(a, n, fill=0):
+    pad = [(0, n - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+    return np.pad(a, pad, constant_values=fill)
+
+
+def shard_ba_problem(n_dev, L, lm_mask, p_kf, p_lm, p_meas, p_w, p_mask,
+                     ei, ej, Z, omega, pemask):
+    """Partition landmarks round-robin across devices and regroup projection
+    edges with their landmark's owner; pad every per-device block to a common
+    size. Returns (sharded arrays dict, landmark permutation)."""
+    NL = L.shape[0]
+    owner = np.arange(NL) % n_dev
+    perm = np.argsort(owner, kind="stable")       # landmarks grouped by device
+    inv_perm = np.argsort(perm)
+    per_dev = int(np.ceil(NL / n_dev))
+    # pad landmark table to n_dev * per_dev in permuted order
+    Lp = _pad_axis(L[perm], n_dev * per_dev)
+    lm_mask_p = _pad_axis(lm_mask[perm], n_dev * per_dev)
+    new_lm_index = inv_perm[p_lm]                 # position in permuted table
+
+    # group projection edges by owner device
+    e_owner = owner[p_lm]
+    e_owner = np.where(p_mask, e_owner, n_dev)    # invalid edges to the end
+    order = np.argsort(e_owner, kind="stable")
+    counts = [int(np.sum(e_owner == d)) for d in range(n_dev)]
+    per_dev_e = max(max(counts), 1)
+    pk = np.zeros((n_dev, per_dev_e), np.int32)
+    pl = np.zeros((n_dev, per_dev_e), np.int32)
+    pm = np.zeros((n_dev, per_dev_e, 2), np.float32)
+    pw = np.zeros((n_dev, per_dev_e), np.float32)
+    pmask = np.zeros((n_dev, per_dev_e), bool)
+    start = 0
+    for d in range(n_dev):
+        sel = order[start:start + counts[d]]
+        start += counts[d]
+        k = len(sel)
+        pk[d, :k] = p_kf[sel]
+        # landmark index LOCAL to the device block
+        pl[d, :k] = new_lm_index[sel] - d * per_dev
+        pm[d, :k] = p_meas[sel]
+        pw[d, :k] = p_w[sel]
+        pmask[d, :k] = p_mask[sel]
+
+    # pose edges split evenly
+    M = ei.shape[0]
+    per_dev_pe = int(np.ceil(M / n_dev))
+    eip = _pad_axis(ei, n_dev * per_dev_pe).reshape(n_dev, per_dev_pe)
+    ejp = _pad_axis(ej, n_dev * per_dev_pe).reshape(n_dev, per_dev_pe)
+    Zp = np.concatenate([Z, np.tile(np.eye(4, dtype=Z.dtype),
+                                    (n_dev * per_dev_pe - M, 1, 1))]) \
+        .reshape(n_dev, per_dev_pe, 4, 4)
+    omp = np.concatenate([omega, np.tile(np.eye(6, dtype=omega.dtype),
+                                         (n_dev * per_dev_pe - M, 1, 1))]) \
+        .reshape(n_dev, per_dev_pe, 6, 6)
+    pemask_p = _pad_axis(pemask, n_dev * per_dev_pe).reshape(n_dev, per_dev_pe)
+
+    return dict(L=Lp.reshape(n_dev, per_dev, 3),
+                lm_mask=lm_mask_p.reshape(n_dev, per_dev),
+                p_kf=pk, p_lm=pl, p_meas=pm, p_w=pw, p_mask=pmask,
+                ei=eip, ej=ejp, Z=Zp, omega=omp, pemask=pemask_p), \
+        perm, per_dev
+
+
+def optimize_ba_sharded(E0, free_pose, sharded, K, iterations: int,
+                        robust_delta: float, mesh: Mesh, axis: str = "dp"):
+    """Sharded counterpart of backend.ba.optimize_ba. `sharded` comes from
+    shard_ba_problem; E0/K are replicated. Returns (E_opt, L_opt_sharded)."""
+    V = E0.shape[0]
+    delta = jnp.asarray(robust_delta, jnp.float32)
+    fp = jnp.asarray(free_pose, jnp.float32)
+
+    sh = P(axis)
+    rep = P()
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(rep,) + (sh,) * 12,
+             out_specs=(rep, sh))
+    def run(E0, L0, lm_mask, p_kf, p_lm, p_meas, p_w, p_mask,
+            ei, ej, Z, omega, pemask):
+        # local views: leading device axis of size 1
+        L0 = L0[0]
+        lm_mask = lm_mask[0]
+        p_kf, p_lm, p_meas = p_kf[0], p_lm[0], p_meas[0]
+        p_w, p_mask = p_w[0], p_mask[0]
+        ei, ej, Z, omega, pemask = ei[0], ej[0], Z[0], omega[0], pemask[0]
+        fl = lm_mask.astype(jnp.float32)
+        NL = L0.shape[0]
+
+        def total_chi2(E, L):
+            _, _, _, _, rc_pose = _pose_edge_terms(E, ei, ej, Z, omega,
+                                                   pemask, delta)
+            _, _, _, _, err2 = _proj_terms(E, L, p_kf, p_lm, p_meas, p_w,
+                                           p_mask, K)
+            c = p_w * err2
+            use = delta > 0
+            d2 = jnp.where(use, delta * delta, 1.0)
+            rc = jnp.where(use, d2 * jnp.log1p(c / d2), c)
+            local = jnp.sum(rc_pose) + jnp.sum(jnp.where(p_mask, rc, 0.0))
+            return jax.lax.psum(local, axis)
+
+        def normal_eq(E, L):
+            epose, Ji, Jj, wpe, rc_pose = _pose_edge_terms(
+                E, ei, ej, Z, omega, pemask, delta)
+            WOm = wpe[:, None, None] * omega
+            JiW = jnp.einsum("mki,mkl->mil", Ji, WOm)
+            JjW = jnp.einsum("mki,mkl->mil", Jj, WOm)
+            Hpp = jnp.zeros((V, V, 6, 6), jnp.float32)
+            Hpp = Hpp.at[ei, ei].add(JiW @ Ji)
+            Hpp = Hpp.at[ei, ej].add(JiW @ Jj)
+            Hpp = Hpp.at[ej, ei].add(jnp.swapaxes(JiW @ Jj, -1, -2))
+            Hpp = Hpp.at[ej, ej].add(JjW @ Jj)
+            bp = jnp.zeros((V, 6), jnp.float32)
+            bp = bp.at[ei].add(-(JiW @ epose[..., None])[..., 0])
+            bp = bp.at[ej].add(-(JjW @ epose[..., None])[..., 0])
+
+            e, Jp, Jl, z, err2 = _proj_terms(E, L, p_kf, p_lm, p_meas, p_w,
+                                             p_mask, K)
+            c = p_w * err2
+            use = delta > 0
+            d2w = jnp.where(use, delta * delta, 1.0)
+            rw = jnp.where(use, 1.0 / (1.0 + c / d2w), 1.0)
+            wt = jnp.where(p_mask, p_w * rw, 0.0)
+            JpW = wt[:, None, None] * jnp.swapaxes(Jp, -1, -2)
+            JlW = wt[:, None, None] * jnp.swapaxes(Jl, -1, -2)
+            Hpp = Hpp.at[p_kf, p_kf].add(JpW @ Jp)
+            bp = bp.at[p_kf].add(-(JpW @ e[..., None])[..., 0])
+            Hll = jnp.zeros((NL, 3, 3), jnp.float32)
+            Hll = Hll.at[p_lm].add(JlW @ Jl)
+            bl = jnp.zeros((NL, 3), jnp.float32)
+            bl = bl.at[p_lm].add(-(JlW @ e[..., None])[..., 0])
+            Hpl = jnp.zeros((V, NL, 6, 3), jnp.float32)
+            Hpl = Hpl.at[p_kf, p_lm].add(JpW @ Jl)
+
+            chi2 = jnp.sum(rc_pose) + jnp.sum(
+                jnp.where(p_mask,
+                          jnp.where(use, d2w * jnp.log1p(c / d2w), c), 0.0))
+            return Hpp, Hpl, Hll, bp, bl, jax.lax.psum(chi2, axis)
+
+        def solve(Hpp, Hpl, Hll, bp, bl, lam):
+            Hll_d = Hll + lam * jnp.eye(3, dtype=jnp.float32)[None]
+            Hll_d = jnp.where(fl[:, None, None] > 0, Hll_d,
+                              jnp.eye(3, dtype=jnp.float32)[None])
+            Hll_inv = jnp.linalg.inv(Hll_d)
+            bl_m = bl * fl[:, None]
+            HplHinv = jnp.einsum("vlab,lbc->vlac", Hpl, Hll_inv)
+            S_local = Hpp - jnp.einsum("vlac,ulec->vuae", HplHinv, Hpl)
+            rhs_local = bp - jnp.einsum("vlac,lc->va", HplHinv, bl_m)
+            # NB: Hpp contributions are per-shard partial sums; the psum
+            # below assembles the global reduced camera system over ICI
+            S = jax.lax.psum(S_local, axis)
+            rhs = jax.lax.psum(rhs_local, axis)
+            S = S + lam * jnp.eye(6, dtype=jnp.float32)[None, None] * \
+                jnp.eye(V, dtype=jnp.float32)[:, :, None, None]
+            S = S * fp[:, None, None, None] * fp[None, :, None, None]
+            S = S.at[jnp.arange(V), jnp.arange(V)].add(
+                (1.0 - fp)[:, None, None] * jnp.eye(6, dtype=jnp.float32))
+            rhs = rhs * fp[:, None]
+            Sd = S.transpose(0, 2, 1, 3).reshape(V * 6, V * 6)
+            dxp = jnp.linalg.solve(Sd, rhs.reshape(-1)).reshape(V, 6)
+            dxp = jnp.nan_to_num(dxp) * fp[:, None]
+            dxl = jnp.einsum("lbc,lc->lb", Hll_inv,
+                             bl_m - jnp.einsum("vlab,va->lb", Hpl, dxp))
+            dxl = jnp.nan_to_num(dxl) * fl[:, None]
+            return dxp, dxl
+
+        def outer(carry, _):
+            E, L, lam, ni = carry
+            Hpp, Hpl, Hll, bp, bl, chi2 = normal_eq(E, L)
+            # pose-block diagonals are per-shard partials: reduce them before
+            # the max so lambda_0 matches the single-device solver; landmark
+            # blocks are complete on their owner shard (pmax suffices)
+            diag_pose = jax.lax.psum(jnp.einsum("vvaa->va", Hpp), axis)
+            dmax = jnp.maximum(
+                jnp.max(jnp.abs(diag_pose)),
+                jax.lax.pmax(jnp.max(jnp.abs(jnp.einsum("laa->la", Hll))),
+                             axis))
+            lam = jnp.where(lam < 0, 1e-5 * dmax, lam)
+
+            def trial(c2, _):
+                E_cur, L_cur, lam, ni, done = c2
+                dxp, dxl = solve(Hpp, Hpl, Hll, bp, bl, lam)
+                E_try = se3.exp_se3(dxp) @ E
+                L_try = L + dxl
+                chi2_new = total_chi2(E_try, L_try)
+                scale_local = (jnp.sum(dxl * (lam * dxl + bl)))
+                scale = (jnp.sum(dxp * (lam * dxp
+                                        + jax.lax.psum(bp, axis)))
+                         + jax.lax.psum(scale_local, axis) + 1e-3)
+                rho = (chi2 - chi2_new) / scale
+                accept = (rho > 0) & jnp.isfinite(chi2_new) & (~done)
+                lam_n = jnp.where(done, lam, jnp.where(
+                    accept, lam * jnp.maximum(1 / 3, 1 - (2 * rho - 1) ** 3),
+                    lam * ni))
+                ni_n = jnp.where(done, ni, jnp.where(accept, 2.0, ni * 2.0))
+                return (jnp.where(accept, E_try, E_cur),
+                        jnp.where(accept, L_try, L_cur),
+                        lam_n, ni_n, done | accept), None
+
+            (E_n, L_n, lam, ni, _), _ = jax.lax.scan(
+                trial, (E, L, lam, ni, jnp.array(False)), None, length=10)
+            return (E_n, L_n, lam, ni), None
+
+        (E_opt, L_opt, _, _), _ = jax.lax.scan(
+            outer, (E0, L0, jnp.array(-1.0, jnp.float32),
+                    jnp.array(2.0, jnp.float32)), None, length=iterations)
+        return E_opt, L_opt[None]
+
+    args = [jnp.asarray(sharded[k]) for k in
+            ("L", "lm_mask", "p_kf", "p_lm", "p_meas", "p_w", "p_mask",
+             "ei", "ej", "Z", "omega", "pemask")]
+    return run(jnp.asarray(E0), *args)

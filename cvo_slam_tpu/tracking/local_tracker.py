@@ -128,11 +128,18 @@ class LocalTracker:
         r_keyframe.dis_to_keyframe = self.local_map.get_frame_number()
         self.metrics["kf_iters"] = self.cvo_keyframe.iters
         self.metrics["kf_nnz"] = self.cvo_keyframe.nnz
+        # structured per-frame observability (SURVEY 5.5): inner products,
+        # cos angles, accept inputs
+        self.metrics["odo_inn_post"] = r_odometry.inn_post
+        self.metrics["kf_inn_post"] = r_keyframe.inn_post
+        self.metrics["kf_cos_angle"] = r_keyframe.cos_angle
+        self.metrics["kf_dist"] = float(np.linalg.norm(T_kf[:3, 3]))
 
         # keyframe decision: AND over all criteria (evaluated unconditionally,
         # matching the boost combiner + its logging side effects)
         self.log("Check whether a new keyframe is needed")
         votes = [cb(self, r_odometry, r_keyframe) for cb in self.accept_callbacks]
+        self.metrics["accept"] = int(all(votes))
         if all(votes) and not self.force:
             self.log("Update current local pose graph")
             self.local_map.add_frame(image, image.timestamp)
