@@ -76,8 +76,9 @@ def align(fixed: PointCloud, moving: PointCloud, R0, T0, ell0,
         y = y0 @ R + Tt[None, :]          # y0 @ (R^T)^T
         if backend == "pallas":
             from . import pallas_kernels as pk
-            omega, v, nnz_k = pk.flow(x, y, fx, fy, mx, my, ell, p)
-            B, C, D, E = pk.step_coeffs(x, y, fx, fy, mx, my, omega, v, ell, p)
+            # one fused launch per iteration (flow + step-size coefficients)
+            omega, v, nnz_k, B, C, D, E = pk.flow_and_step(
+                x, y, fx, fy, mx, my, ell, p)
         else:
             omega, v, A, nnz_k = pairwise.flow(x, y, fx, fy, mx, my, ell, p)
             B, C, D, E = pairwise.step_coeffs(x, y, A, omega, v, ell)
@@ -189,13 +190,19 @@ def compute_innerproduct(fixed: PointCloud, moving: PointCloud, tran, ell,
     y, fy, my = moving.positions, moving.features, moving.mask
     yt = se3.transform_points(tran, y)
 
-    pre_v, pre_n = _ip(y, fy, my, x, fx, mx, ell, p, backend)
-    post_v, post_n = _ip(yt, fy, my, x, fx, mx, ell, p, backend)
-    fixed_v, fixed_n = _ip(x, fx, mx, x, fx, mx, ell, p, backend)
-    moving_v, moving_n = _ip(y, fy, my, y, fy, my, ell, p, backend)
+    if backend == "pallas":
+        from . import pallas_kernels as pk
+        # all four inner products + Hessian moments in ONE kernel launch
+        (pre_v, pre_n, post_v, post_n, fixed_v, fixed_n, moving_v, moving_n,
+         G, inliers) = pk.ip_suite(x, fx, mx, y, fy, my, yt, ell, p)
+        H_raw = pairwise.assemble_hessian(G, ell)
+    else:
+        pre_v, pre_n = _ip(y, fy, my, x, fx, mx, ell, p, backend)
+        post_v, post_n = _ip(yt, fy, my, x, fx, mx, ell, p, backend)
+        fixed_v, fixed_n = _ip(x, fx, mx, x, fx, mx, ell, p, backend)
+        moving_v, moving_n = _ip(y, fy, my, y, fy, my, ell, p, backend)
+        H_raw, inliers = _hess_raw(yt, fy, my, x, fx, mx, ell, p, backend)
     cos_angle = post_v / (jnp.sqrt(fixed_v) * jnp.sqrt(moving_v))
-
-    H_raw, inliers = _hess_raw(yt, fy, my, x, fx, mx, ell, p, backend)
     post_hessian = hessian_postprocess(H_raw, inliers, p)
     return dict(inn_pre=pre_v, inn_pre_num=pre_n, inn_post=post_v,
                 inn_post_num=post_n, inn_fixed=fixed_v, inn_moving=moving_v,

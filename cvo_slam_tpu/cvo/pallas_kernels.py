@@ -369,3 +369,269 @@ def pair_stats(xa, fa, ma, xb, fb, mb, ell, p: CvoParams,
     G = jnp.sum(partial_g.reshape(n_strips, 16, 128), axis=0)[0:13, 0:13]
     inliers = tot[1].astype(jnp.int32)
     return value, num, G, inliers
+
+
+# ---------------------------------------------------------------------------
+# fused per-iteration kernel: flow moments + step-size coefficients in ONE
+# launch (two internal strip passes over the pairwise structure; the flow
+# reduction lives in VMEM scratch between them). Halves kernel launches per
+# align iteration vs separate flow/step calls.
+# ---------------------------------------------------------------------------
+
+def _iter_kernel(scal_ref, X, F, M, Y, FY, MY, out, cc_scr, *, p: CvoParams,
+                 tn: int):
+    ell = scal_ref[0]
+    d2t, d2ct = _thresholds(ell, p)
+    cap = X.shape[1]
+    n_strips = cap // tn
+
+    # pass 1: flow moments, accumulated into the (16,128) scratch
+    cc_scr[:] = jnp.zeros((16, 128), jnp.float32)
+
+    def strip_flow(s, _):
+        xs = X[:, pl.ds(s * tn, tn)]
+        fs = F[:, pl.ds(s * tn, tn)]
+        ms = M[:, pl.ds(s * tn, tn)]
+        gate, a, _ = _pair_tile(xs, fs, ms, Y[:], FY[:], MY[:],
+                                ell, d2t, d2ct, p)
+        keep = gate & (a > p.sp_thres)
+        A = jnp.where(keep, a, 0.0)
+        m = jax.lax.dot_general(A, Y[:], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
+        s2d = jnp.sum(A, axis=1, keepdims=True)
+        m_aug = jnp.concatenate([m, s2d, jnp.zeros_like(s2d)], axis=1)
+        ones_row = jnp.ones((1, tn), jnp.float32)
+        X_aug = jnp.concatenate([xs, ones_row], axis=0)
+        Cc = jax.lax.dot_general(X_aug, m_aug, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
+        nnz = jnp.sum(keep.astype(jnp.float32))
+        r = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 0)
+        c = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 1)
+        padded = jnp.pad(Cc, ((0, 7), (0, 118)))
+        cc_scr[:] = cc_scr[:] + jnp.where((r < 9) & (c < 10), padded, 0.0) \
+            + jnp.where((r == 15) & (c == 0), nnz, 0.0)
+        return 0
+
+    jax.lax.fori_loop(0, n_strips, strip_flow, 0)
+
+    # flow epilogue: omega/v scalars from the moment matrix
+    w0 = (cc_scr[1, 2] - cc_scr[2, 1]) / p.c
+    w1 = (cc_scr[2, 0] - cc_scr[0, 2]) / p.c
+    w2 = (cc_scr[0, 1] - cc_scr[1, 0]) / p.c
+    v0 = (cc_scr[8, 0] - cc_scr[0, 8]) / p.d
+    v1 = (cc_scr[8, 1] - cc_scr[1, 8]) / p.d
+    v2 = (cc_scr[8, 2] - cc_scr[2, 8]) / p.d
+
+    # pass 2: step-size quartic coefficients with the fresh omega/v
+    y0r, y1r, y2r = Y[0, :], Y[1, :], Y[2, :]
+
+    def omega_cross(a0, a1, a2):
+        return (w1 * a2 - w2 * a1, w2 * a0 - w0 * a2, w0 * a1 - w1 * a0)
+
+    xiz = omega_cross(y0r, y1r, y2r)
+    xiz = (xiz[0] + v0, xiz[1] + v1, xiz[2] + v2)
+    xi2z = omega_cross(*xiz)
+    xi3z = omega_cross(*xi2z)
+    xi4z = omega_cross(*xi3z)
+
+    def rowdot(u, w):
+        return u[0] * w[0] + u[1] * w[1] + u[2] * w[2]
+
+    yv = (y0r, y1r, y2r)
+    normxiz2 = rowdot(xiz, xiz)
+    xiz_dot_xi2z = -rowdot(xiz, xi2z)
+    epsil_const = rowdot(xi2z, xi2z) + 2.0 * rowdot(xiz, xi3z)
+    zero_rows = jnp.zeros((5, cap), jnp.float32)
+    U_all = [jnp.concatenate([u[0][None, :], u[1][None, :], u[2][None, :],
+                              zero_rows], axis=0) for u in (xiz, xi2z, xi3z,
+                                                            xi4z)]
+    ud_y = [rowdot(u, yv) for u in (xiz, xi2z, xi3z, xi4z)]
+    tc = 1.0 / (2.0 * ell * ell)
+
+    def strip_step(s, acc):
+        B_a, C_a, D_a, E_a = acc
+        xs = X[:, pl.ds(s * tn, tn)]
+        fs = F[:, pl.ds(s * tn, tn)]
+        ms = M[:, pl.ds(s * tn, tn)]
+        gate, a, _ = _pair_tile(xs, fs, ms, Y[:], FY[:], MY[:],
+                                ell, d2t, d2ct, p)
+        A = jnp.where(gate & (a > p.sp_thres), a, 0.0)
+
+        def xd(i):
+            d = jax.lax.dot_general(xs, U_all[i], (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32,
+                                    precision=jax.lax.Precision.HIGHEST)
+            return d - ud_y[i][None, :]
+
+        beta = -2.0 * tc * xd(0)
+        gamma = -tc * (normxiz2[None, :] + 2.0 * xd(1))
+        delta = 2.0 * tc * (xiz_dot_xi2z[None, :] - xd(2))
+        epsil = -tc * (epsil_const[None, :] + 2.0 * xd(3))
+        B_a = B_a + jnp.sum(A * beta)
+        C_a = C_a + jnp.sum(A * (gamma + beta * beta * 0.5))
+        D_a = D_a + jnp.sum(A * (delta + beta * gamma + beta ** 3 / 6.0))
+        E_a = E_a + jnp.sum(A * (epsil + beta * delta
+                                 + 0.5 * beta * beta * gamma
+                                 + 0.5 * gamma * gamma + beta ** 4 / 24.0))
+        return (B_a, C_a, D_a, E_a)
+
+    B, C, D, E = jax.lax.fori_loop(
+        0, n_strips, strip_step,
+        (jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
+         jnp.float32(0.0)))
+
+    r = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 1)
+    out[:] = jnp.where((r < 14) | (r == 15), cc_scr[:], 0.0) \
+        + jnp.where((r == 14) & (c == 0), B, 0.0) \
+        + jnp.where((r == 14) & (c == 1), C, 0.0) \
+        + jnp.where((r == 14) & (c == 2), D, 0.0) \
+        + jnp.where((r == 14) & (c == 3), E, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("p",))
+def flow_and_step(x, y, fx, fy, mx, my, ell, p: CvoParams):
+    """One launch per align iteration: (omega, v, nnz, B, C, D, E)."""
+    cap = x.shape[0]
+    tn = _tn(cap, pref=128)
+    X, F, M = _pack(x, fx, mx)
+    Y, FY, MY = _pack(y, fy, my)
+    ell_arr = jnp.asarray(ell, jnp.float32).reshape(1)
+    full = lambda i, s: (0, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[pl.BlockSpec((8, cap), full, memory_space=pltpu.VMEM)] * 2
+        + [pl.BlockSpec((1, cap), full, memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec((8, cap), full, memory_space=pltpu.VMEM)] * 2
+        + [pl.BlockSpec((1, cap), full, memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((16, 128), full, memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((16, 128), jnp.float32)],
+    )
+    S = pl.pallas_call(
+        functools.partial(_iter_kernel, p=p, tn=tn),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((16, 128), jnp.float32),
+    )(ell_arr, X, F, M, Y, FY, MY)
+    omega = jnp.stack([S[1, 2] - S[2, 1], S[2, 0] - S[0, 2],
+                       S[0, 1] - S[1, 0]]) / p.c
+    v = (S[8, 0:3] - jnp.stack([S[0, 8], S[1, 8], S[2, 8]])) / p.d
+    nnz = S[15, 0].astype(jnp.int32)
+    return omega, v, nnz, S[14, 0], S[14, 1], S[14, 2], S[14, 3]
+
+
+# ---------------------------------------------------------------------------
+# fused compute_innerproduct kernel: the reference runs 4 inner-product
+# passes + the Hessian pass per call (cvo.cpp:475-503); this performs all of
+# them in ONE launch (5 internal strip passes sharing the resident clouds).
+# ---------------------------------------------------------------------------
+
+def _ip_suite_kernel(ell_ref, X, F, M, Y, FY, MY, YT, UX, UYT, out, g_scr, *,
+                     p: CvoParams, tn: int):
+    ell = ell_ref[0]
+    d2t, d2ct = _thresholds(ell, p)
+    cap = X.shape[1]
+    n_strips = cap // tn
+
+    def sum_count(Apos, Afeat, Amask, Bpos, Bfeat, Bmask):
+        def strip(s, acc):
+            sa, cnt = acc
+            xs = Apos[:, pl.ds(s * tn, tn)]
+            fs = Afeat[:, pl.ds(s * tn, tn)]
+            ms = Amask[:, pl.ds(s * tn, tn)]
+            gate, a, _ = _pair_tile(xs, fs, ms, Bpos[:], Bfeat[:], Bmask[:],
+                                    ell, d2t, d2ct, p)
+            a = jnp.where(gate, a, 0.0)
+            return (sa + jnp.sum(a), cnt + jnp.sum(gate.astype(jnp.float32)))
+        return jax.lax.fori_loop(0, n_strips, strip,
+                                 (jnp.float32(0.0), jnp.float32(0.0)))
+
+    pre_s, pre_c = sum_count(Y, FY, MY, X, F, M)
+    post_s, post_c = sum_count(YT, FY, MY, X, F, M)
+    fix_s, fix_c = sum_count(X, F, M, X, F, M)
+    mov_s, mov_c = sum_count(Y, FY, MY, Y, FY, MY)
+
+    # Hessian moment pass: weight k * (f_a . f_b) over (YT vs X)
+    g_scr[:] = jnp.zeros((16, 128), jnp.float32)
+
+    def strip_g(s, _):
+        xs = YT[:, pl.ds(s * tn, tn)]
+        fs = FY[:, pl.ds(s * tn, tn)]
+        ms = MY[:, pl.ds(s * tn, tn)]
+        us = UYT[:, pl.ds(s * tn, tn)]
+        gate, _, d2 = _pair_tile(xs, fs, ms, X[:], F[:], M[:],
+                                 ell, d2t, d2ct, p)
+        contract = (((0,), (0,)), ((), ()))
+        cdot = jax.lax.dot_general(fs, F[:], contract,
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
+        k = (p.sigma * p.sigma) * jnp.exp(
+            jnp.maximum(-d2 / (2.0 * ell * ell), -20.0))
+        W = jnp.where(gate, k * cdot, 0.0)
+        WU = jax.lax.dot_general(W, UX[:], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
+        G = jax.lax.dot_general(us, WU, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
+        c = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 1)
+        g_scr[:] = g_scr[:] + jnp.where(c < 16, jnp.pad(G, ((0, 0), (0, 112))),
+                                        0.0)
+        return 0
+
+    jax.lax.fori_loop(0, n_strips, strip_g, 0)
+
+    r = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 1)
+    out[:] = jnp.where((r < 13) & (c < 13), g_scr[:], 0.0) \
+        + jnp.where((r == 15) & (c == 0), pre_s, 0.0) \
+        + jnp.where((r == 15) & (c == 1), pre_c, 0.0) \
+        + jnp.where((r == 15) & (c == 2), post_s, 0.0) \
+        + jnp.where((r == 15) & (c == 3), post_c, 0.0) \
+        + jnp.where((r == 15) & (c == 4), fix_s, 0.0) \
+        + jnp.where((r == 15) & (c == 5), fix_c, 0.0) \
+        + jnp.where((r == 15) & (c == 6), mov_s, 0.0) \
+        + jnp.where((r == 15) & (c == 7), mov_c, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("p",))
+def ip_suite(x, fx, mx, y, fy, my, yt, ell, p: CvoParams):
+    """One launch for compute_innerproduct's device work: returns
+    (pre, pre_n, post, post_n, fixed, fixed_n, moving, moving_n, G, inliers).
+    x/fx = fixed cloud, y/fy = moving, yt = transformed moving positions."""
+    cap = x.shape[0]
+    tn = _tn(cap, pref=128)
+    X, F, M = _pack(x, fx, mx)
+    Y, FY, MY = _pack(y, fy, my)
+    YT = jnp.zeros((8, cap), jnp.float32).at[0:3, :].set(yt.T)
+    UX = _lift_u_packed(x)
+    UYT = _lift_u_packed(yt)
+    ell_arr = jnp.asarray(ell, jnp.float32).reshape(1)
+    full = lambda i, s: (0, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[pl.BlockSpec((8, cap), full, memory_space=pltpu.VMEM)] * 2
+        + [pl.BlockSpec((1, cap), full, memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec((8, cap), full, memory_space=pltpu.VMEM)] * 2
+        + [pl.BlockSpec((1, cap), full, memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec((8, cap), full, memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec((16, cap), full, memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec((16, 128), full, memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((16, 128), jnp.float32)],
+    )
+    S = pl.pallas_call(
+        functools.partial(_ip_suite_kernel, p=p, tn=tn),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((16, 128), jnp.float32),
+    )(ell_arr, X, F, M, Y, FY, MY, YT, UX, UYT)
+    G = S[0:13, 0:13]
+    row = S[15]
+
+    def num(v):
+        return jnp.where(v == 0, 1.0, v)
+
+    return (row[0], num(row[1]), row[2], num(row[3]), row[4], num(row[5]),
+            row[6], num(row[7]), G, row[3].astype(jnp.int32))

@@ -74,3 +74,47 @@ def test_pair_stats_parity(with_moments):
         hs = max(np.abs(np.asarray(H_ref)).max(), 1.0)
         np.testing.assert_allclose(np.asarray(H) / hs, np.asarray(H_ref) / hs,
                                    atol=1e-4)
+
+
+def test_fused_flow_and_step_parity():
+    ell = 0.12
+    x, fx, mx, y, fy, my = clouds(7)
+    with pltpu.force_tpu_interpret_mode():
+        o, v, nnz, B, C, D, E = pk.flow_and_step(x, y, fx, fy, mx, my,
+                                                 jnp.float32(ell), P)
+    o_r, v_r, A_r, nnz_r = pairwise.flow(x, y, fx, fy, mx, my,
+                                         jnp.float32(ell), P)
+    ref = pairwise.step_coeffs(x, y, A_r, o_r, v_r, jnp.float32(ell))
+    np.testing.assert_allclose(np.asarray(o), np.asarray(o_r), rtol=1e-4,
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_r), rtol=1e-4,
+                               atol=1e-7)
+    assert int(nnz) == int(nnz_r)
+    for g, r in zip((B, C, D, E), ref):
+        np.testing.assert_allclose(float(g), float(r), rtol=2e-3, atol=1e-8)
+
+
+def test_ip_suite_parity():
+    ell = 0.15
+    x, fx, mx, y, fy, my = clouds(9)
+    from cvo_slam_tpu.ops import se3
+    tran = se3.exp_se3(jnp.asarray(
+        np.array([0.02, -0.01, 0.03, 0.05, 0.02, -0.04], np.float32)))
+    yt = se3.transform_points(tran, y)
+    with pltpu.force_tpu_interpret_mode():
+        out = pk.ip_suite(x, fx, mx, y, fy, my, yt, jnp.float32(ell), P)
+    (pre, pre_n, post, post_n, fixv, fix_n, mov, mov_n, G, inl) = out
+    ref = [pairwise.inner_product(y, fy, my, x, fx, mx, jnp.float32(ell), P),
+           pairwise.inner_product(yt, fy, my, x, fx, mx, jnp.float32(ell), P),
+           pairwise.inner_product(x, fx, mx, x, fx, mx, jnp.float32(ell), P),
+           pairwise.inner_product(y, fy, my, y, fy, my, jnp.float32(ell), P)]
+    for (g_v, g_n), (r_v, r_n) in zip(
+            [(pre, pre_n), (post, post_n), (fixv, fix_n), (mov, mov_n)], ref):
+        np.testing.assert_allclose(float(g_v), float(r_v), rtol=1e-4)
+        assert int(g_n) == int(r_n)
+    G_ref, inl_ref = pairwise.hessian_moments(yt, fy, my, x, fx, mx,
+                                              jnp.float32(ell), P)
+    scale = max(np.abs(np.asarray(G_ref)).max(), 1.0)
+    np.testing.assert_allclose(np.asarray(G) / scale,
+                               np.asarray(G_ref) / scale, atol=1e-5)
+    assert int(inl) == int(inl_ref)
