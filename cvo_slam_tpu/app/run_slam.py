@@ -56,15 +56,23 @@ def build_tracker(cam, cfg, verbose=False):
                            keyframe_feature_hook=feature_hook, verbose=verbose)
 
 
-def run(folder: str, association: str, cam_name: str, cfg: SlamConfig,
-        max_frames: int = 0, verbose: bool = False):
-    cam = CAMERA_PRESETS[cam_name]
+def run(folder: str, association: str, cam_name, cfg: SlamConfig,
+        max_frames: int = 0, verbose: bool = False, profile_dir: str = ""):
+    """cam_name: a preset key (e.g. "TUM1") or a CameraConfig instance."""
+    from ..config import CameraConfig
+    cam = (cam_name if isinstance(cam_name, CameraConfig)
+           else CAMERA_PRESETS[cam_name])
     records = tum.load_association(os.path.join(folder, association))
     if max_frames:
         records = records[:max_frames]
 
     tracker = build_tracker(cam, cfg, verbose)
     tracker.init()
+
+    if profile_dir:
+        # JAX profiler traces (SURVEY 5.1): view with xprof/tensorboard
+        import jax
+        jax.profiler.start_trace(profile_dir)
 
     traj_path = os.path.join(folder, "Tracking_trajectory.txt")
     metrics_path = os.path.join(folder, "metrics.jsonl")
@@ -87,6 +95,9 @@ def run(folder: str, association: str, cam_name: str, cfg: SlamConfig,
             if verbose:
                 print(f"frame {i + 1}/{len(records)} {dt * 1e3:.1f} ms")
     wall = time.perf_counter() - t_start
+    if profile_dir:
+        import jax
+        jax.profiler.stop_trace()
 
     if not cfg.OnlyTracking:
         tracker.write_slam_trajectory_and_loop_closure(
@@ -106,6 +117,8 @@ def main(argv=None):
     ap.add_argument("--only-tracking", action="store_true")
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--profile-dir", default="",
+                    help="write a JAX profiler trace here (xprof format)")
     args = ap.parse_args(argv)
 
     cfg = (parse_config_txt(args.config) if args.config
@@ -113,7 +126,7 @@ def main(argv=None):
     if args.only_tracking:
         cfg = cfg.replace(OnlyTracking=True)
     stats = run(args.folder, args.association, args.camera, cfg,
-                args.max_frames, args.verbose)
+                args.max_frames, args.verbose, args.profile_dir)
     print(json.dumps(stats))
 
 

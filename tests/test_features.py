@@ -109,3 +109,43 @@ def test_pose_refinement_improves():
     err = np.linalg.norm(T_ref - T_true)
     err0 = np.linalg.norm(T0 - T_true)
     assert err < 0.05 * err0
+
+
+def test_orbvoc_text_roundtrip(tmp_path, orb_kf):
+    """DBoW2 text format: write a vocabulary in the reference's format, load
+    it, and check transform/score behave identically to the source."""
+    *_, desc = orb_kf
+    voc = bow.Vocabulary.train(desc, k=3, L=2)
+    # serialize in DBoW2 text layout: header 'k L s w'; rows
+    # 'parent is_leaf d0..d31 weight' in BFS order
+    lines = ["3 2 0 0"]
+    id_map = {}   # our node id -> file order index (root excluded, root=0)
+    order = []
+    stack = [0]
+    while stack:
+        nid = stack.pop(0)
+        for ch in voc.children[nid]:
+            order.append((nid, ch))
+            stack.append(ch)
+    for parent, ch in order:
+        id_map[ch] = len(id_map) + 1
+    for parent, ch in order:
+        p_idx = 0 if parent == 0 else id_map[parent]
+        is_leaf = 1 if ch in voc.word_of_node else 0
+        d = " ".join(str(int(v)) for v in voc.node_desc[ch])
+        w = voc.node_weight[ch]
+        lines.append(f"{p_idx} {is_leaf} {d} {w}")
+    path = tmp_path / "voc.txt"
+    path.write_text("\n".join(lines) + "\n")
+
+    loaded = bow.load_orbvoc_text(str(path))
+    v1, _ = voc.transform(desc)
+    v2, _ = loaded.transform(desc)
+    s_self = bow.Vocabulary.score(v2, v2)
+    assert s_self == pytest.approx(1.0, abs=1e-6)
+    # same descriptor set scores identically against itself through both
+    half = desc[: len(desc) // 2]
+    h1, _ = voc.transform(half)
+    h2, _ = loaded.transform(half)
+    assert bow.Vocabulary.score(v1, h1) == pytest.approx(
+        bow.Vocabulary.score(v2, h2), abs=1e-9)
