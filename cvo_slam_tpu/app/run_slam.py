@@ -20,8 +20,6 @@ import json
 import os
 import time
 
-import numpy as np
-
 from ..config import CAMERA_PRESETS, SlamConfig, parse_config_txt
 from ..data import tum
 from ..tracking.keyframe_tracker import KeyframeTracker

@@ -21,7 +21,6 @@ residuals/Jacobians follow EdgeSE3Projection (vertex_and_edge.cpp:15-73).
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, List
 
 import jax
 import jax.numpy as jnp
@@ -63,7 +62,6 @@ def _proj_terms(E, L, pe_kf, pe_lm, pe_meas, pe_w, pe_mask, K):
 
 
 def _pose_edge_terms(E, ei, ej, Z, omega, emask, delta):
-    from . import lm as lm_mod
     Zinv = se3.inv_pose(Z)
     err_T = Zinv @ E[ei] @ se3.inv_pose(E[ej])
     e = se3.log_se3(err_T)

@@ -30,14 +30,13 @@ landmark ids odd; edge ids even — the loop-closure writer filters on these
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, List, Optional
 
 import jax.numpy as jnp
 import numpy as np
 
 from ..config import CameraConfig, SlamConfig
-from ..data.tum import pose_to_tum_line
 from ..tracking.local_map import LocalMap
 from ..tracking.types import Frame, Keyframe, TrackingResult
 from . import lm

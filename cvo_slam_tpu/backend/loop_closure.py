@@ -18,9 +18,6 @@ covisibility state feeds GetBestCovisibleKeyframeList at the end.
 
 from __future__ import annotations
 
-import heapq
-from typing import List
-
 import numpy as np
 
 from ..config import CameraConfig, SlamConfig

@@ -95,7 +95,6 @@ def _keyframe_in(d):
 
 def save_session(tracker, path: str):
     """Serialize a KeyframeTracker (+ its graph) mid-run."""
-    from ..tracking.types import TrackingResult
     lt = tracker.lt
     lm = lt.local_map
     state = dict(

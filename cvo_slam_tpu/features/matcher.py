@@ -25,9 +25,8 @@ std::random_device — nondeterministic run-to-run); deterministic here.
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import cv2
 import numpy as np

@@ -19,7 +19,6 @@ slots contribute exactly zero.
 
 from __future__ import annotations
 
-import itertools
 from functools import lru_cache
 
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ graphs can be layered on with parallel.async_backend workers).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 from typing import List, Optional
 

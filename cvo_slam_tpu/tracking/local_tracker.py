@@ -16,7 +16,6 @@ in without touching the tracking flow.
 from __future__ import annotations
 
 import copy
-from dataclasses import dataclass, field
 from typing import Callable, List, Optional
 
 import numpy as np
