@@ -24,7 +24,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
+def _measure():
     import jax
     from cvo_slam_tpu.config import CAMERA_PRESETS, SlamConfig
     from cvo_slam_tpu.data.synthetic import _base_scene
@@ -118,7 +118,37 @@ def main():
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / 30.0, 3),
-    }))
+    }), flush=True)
+
+
+def main():
+    """Run the measurement in a watchdog subprocess: the tunnel's compile
+    service hangs intermittently; retry once and always emit a JSON line."""
+    import os
+    import subprocess
+    if os.environ.get("CVO_BENCH_CHILD") == "1":
+        _measure()
+        return
+    env = dict(os.environ, CVO_BENCH_CHILD="1", PYTHONUNBUFFERED="1")
+    for attempt in range(2):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=900)
+            for line in proc.stdout.splitlines():
+                if line.startswith("{"):
+                    print(line, flush=True)
+                    sys.stderr.write(proc.stderr[-2000:])
+                    return
+            log(f"attempt {attempt}: no JSON (rc={proc.returncode})")
+            log(proc.stderr[-2000:])
+        except subprocess.TimeoutExpired:
+            log(f"attempt {attempt}: timed out (tunnel compile hang)")
+    print(json.dumps({
+        "metric": "tracking_frames_per_s_chip", "value": 0.0,
+        "unit": "frames/s", "vs_baseline": 0.0,
+        "note": "device benchmark did not complete (see PERF_NOTES.md)",
+    }), flush=True)
 
 
 if __name__ == "__main__":
