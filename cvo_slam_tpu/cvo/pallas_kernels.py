@@ -279,30 +279,53 @@ def step_coeffs(x, y, fx, fy, mx, my, omega, v, ell, p: CvoParams):
 # kernel 3: inner product + Hessian moment matrix in one pass
 # ---------------------------------------------------------------------------
 
-def _stats_kernel(ell_ref, X, F, M, U, Y, FY, MY, UB, out_s, out_g, *,
-                  p: CvoParams, with_moments: bool):
+def _stats_kernel(ell_ref, skip_ref, X, F, M, U, Y, FY, MY, UB, out_s, out_g,
+                  *, p: CvoParams, with_moments: bool, tn_b: int):
+    i = pl.program_id(0)
     ell = ell_ref[0]
     d2t, d2ct = _thresholds(ell, p)
-    gate, joint, d2 = _pair_tile(X[:], F[:], M[:], Y[:], FY[:], MY[:],
-                                 ell, d2t, d2ct, p)
-    a = jnp.where(gate, joint, 0.0)
-    out_s[:] = _scalar_block([jnp.sum(a), jnp.sum(gate.astype(jnp.float32))])
+    cap = Y.shape[1]
+    n_tb = cap // tn_b
+    out_s[:] = jnp.zeros((8, 128), jnp.float32)
     if with_moments:
-        contract = (((0,), (0,)), ((), ()))
-        cdot = jax.lax.dot_general(F[:], FY[:], contract,
-                                   preferred_element_type=jnp.float32,
-                             precision=jax.lax.Precision.HIGHEST)
-        k = (p.sigma * p.sigma) * jnp.exp(
-            jnp.maximum(-d2 / (2.0 * ell * ell), -20.0))
-        W = jnp.where(gate, k * cdot, 0.0)             # (TN, CAP)
-        WU = jax.lax.dot_general(W, UB[:], (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32,
-                             precision=jax.lax.Precision.HIGHEST)  # (TN,16)
-        G = jax.lax.dot_general(U[:], WU, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                             precision=jax.lax.Precision.HIGHEST)   # (16,16)
-        c = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 1)
-        out_g[:] = jnp.where(c < 16, jnp.pad(G, ((0, 0), (0, 112))), 0.0)
+        out_g[:] = jnp.zeros((16, 128), jnp.float32)
+    r8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    c8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    c16 = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 1)
+
+    def ytile(t, _):
+        @pl.when(skip_ref[i * n_tb + t] > 0)
+        def _():
+            ys = Y[:, pl.ds(t * tn_b, tn_b)]
+            fys = FY[:, pl.ds(t * tn_b, tn_b)]
+            mys = MY[:, pl.ds(t * tn_b, tn_b)]
+            gate, joint, d2 = _pair_tile(X[:], F[:], M[:], ys, fys, mys,
+                                         ell, d2t, d2ct, p)
+            a = jnp.where(gate, joint, 0.0)
+            out_s[:] = out_s[:] \
+                + jnp.where((r8 == 0) & (c8 == 0), jnp.sum(a), 0.0) \
+                + jnp.where((r8 == 1) & (c8 == 0),
+                            jnp.sum(gate.astype(jnp.float32)), 0.0)
+            if with_moments:
+                contract = (((0,), (0,)), ((), ()))
+                cdot = jax.lax.dot_general(F[:], fys, contract,
+                                           preferred_element_type=jnp.float32,
+                                           precision=jax.lax.Precision.HIGHEST)
+                k = (p.sigma * p.sigma) * jnp.exp(
+                    jnp.maximum(-d2 / (2.0 * ell * ell), -20.0))
+                W = jnp.where(gate, k * cdot, 0.0)             # (TN, tn_b)
+                ub = UB[:, pl.ds(t * tn_b, tn_b)]
+                WU = jax.lax.dot_general(W, ub, (((1,), (1,)), ((), ())),
+                                         preferred_element_type=jnp.float32,
+                                         precision=jax.lax.Precision.HIGHEST)
+                G = jax.lax.dot_general(U[:], WU, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32,
+                                        precision=jax.lax.Precision.HIGHEST)
+                out_g[:] = out_g[:] + jnp.where(
+                    c16 < 16, jnp.pad(G, ((0, 0), (0, 112))), 0.0)
+        return 0
+
+    jax.lax.fori_loop(0, n_tb, ytile, 0)
 
 
 def _lift_u_packed(pos):
@@ -324,18 +347,21 @@ def pair_stats(xa, fa, ma, xb, fb, mb, ell, p: CvoParams,
     sum/count follow function_inner_product (no sp_thres gate, cvo.cpp:416-447);
     G is the weighted moment matrix of se3_Hessian (weight k * f_a.f_b)."""
     cap = xa.shape[0]
-    TN = _tn(cap, pref=256)   # stats tile keeps ~3 (TN,CAP) values live
+    TN = _tn(cap, pref=256)   # stats tile keeps ~3 (TN,tn_b) values live
+    tn_b = _tn(cap, pref=128)
     n_strips = cap // TN
     X, F, M = _pack(xa, fa, ma)
     Y, FY, MY = _pack(xb, fb, mb)
     U = _lift_u_packed(xa)
     UB = _lift_u_packed(xb)
-    ell_arr = jnp.asarray(ell, jnp.float32).reshape(1)
+    ell = jnp.asarray(ell, jnp.float32)
+    ell_arr = ell.reshape(1)
+    skip = _skip_flags(xa, ma, xb, mb, ell, TN, p, tile_b=tn_b)
 
-    strip = lambda i, s: (0, i)
-    full = lambda i, s: (0, 0)
+    strip = lambda i, s, k: (0, i)
+    full = lambda i, s, k: (0, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n_strips,),
         in_specs=[
             pl.BlockSpec((8, TN), strip, memory_space=pltpu.VMEM),
@@ -348,17 +374,19 @@ def pair_stats(xa, fa, ma, xb, fb, mb, ell, p: CvoParams,
             pl.BlockSpec((16, cap), full, memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((8, 128), lambda i, s: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, 128), lambda i, s: (i, 0),
+            pl.BlockSpec((8, 128), lambda i, s, k: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, 128), lambda i, s, k: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
     )
     partial_s, partial_g = pl.pallas_call(
-        functools.partial(_stats_kernel, p=p, with_moments=with_moments),
+        functools.partial(_stats_kernel, p=p, with_moments=with_moments,
+                          tn_b=tn_b),
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((n_strips * 8, 128), jnp.float32),
                    jax.ShapeDtypeStruct((n_strips * 16, 128), jnp.float32)),
-    )(ell_arr, X, F, M, U, Y, FY, MY, UB)
+    )(ell_arr, skip, X, F, M, U, Y, FY, MY, UB)
     tot = jnp.sum(partial_s.reshape(n_strips, 8, 128), axis=0)[:, 0]
     value = tot[0]
     num = tot[1]
@@ -371,123 +399,189 @@ def pair_stats(xa, fa, ma, xb, fb, mb, ell, p: CvoParams,
 
 
 # ---------------------------------------------------------------------------
-# fused per-iteration kernel: flow moments + step-size coefficients in ONE
-# launch (two internal strip passes over the pairwise structure; the flow
-# reduction lives in VMEM scratch between them). Halves kernel launches per
-# align iteration vs separate flow/step calls.
+# spatial tile skipping (the TPU analogue of the reference's nanoflann
+# kd-tree, cvo.cpp:122-139): clouds are Morton-ordered by the frontend, so
+# 128-point tiles are spatially compact; a (strip, tile) pair whose bounding
+# boxes are farther apart than the geometric gate radius sqrt(d2t) contains
+# no pair passing the gate and its MXU work is skipped entirely (pl.when).
+# The skip is conservative-exact: results are bitwise the set of pairs the
+# dense kernel would keep.
 # ---------------------------------------------------------------------------
 
-def _iter_kernel(scal_ref, X, F, M, Y, FY, MY, out, cc_scr, *, p: CvoParams,
-                 tn: int):
+_BIG = jnp.float32(1e9)
+
+
+def _tile_bounds(pos, mask, tile):
+    """(CAP,3),(CAP,) -> per-tile AABB (nt,3) lo, hi. Empty tiles get
+    inverted boxes (+big, -big) whose gap test always skips."""
+    nt = pos.shape[0] // tile
+    p3 = pos.reshape(nt, tile, 3)
+    m3 = mask.reshape(nt, tile, 1)
+    lo = jnp.min(jnp.where(m3, p3, _BIG), axis=1)
+    hi = jnp.max(jnp.where(m3, p3, -_BIG), axis=1)
+    return lo, hi
+
+
+def _skip_flags(x, mx, y, my, ell, tile, p: CvoParams, tile_b: int = 0):
+    """(n_xt*n_yt,) int32: 1 where the (strip, tile) pair must be computed."""
+    xlo, xhi = _tile_bounds(x, mx, tile)
+    ylo, yhi = _tile_bounds(y, my, tile_b or tile)
+    d2t = -2.0 * ell * ell * jnp.log(p.sp_thres / (p.sigma * p.sigma))
+    gap = jnp.maximum(jnp.maximum(xlo[:, None, :] - yhi[None, :, :],
+                                  ylo[None, :, :] - xhi[:, None, :]), 0.0)
+    gap = jnp.minimum(gap, _BIG)
+    mind2 = jnp.sum(gap * gap, axis=-1)
+    return (mind2 < d2t).astype(jnp.int32).reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# fused per-iteration kernel: flow moments + step-size coefficients in ONE
+# launch (two internal tiled passes over the pairwise structure; the flow
+# reduction lives in VMEM scratch between them). Halves kernel launches per
+# align iteration vs separate flow/step calls, and skips far tile pairs.
+# ---------------------------------------------------------------------------
+
+def _iter_kernel(scal_ref, skip_ref, X, F, M, Y, FY, MY, XT, out, cc_scr,
+                 m_scr, bcde_scr, *, p: CvoParams, tn: int):
     ell = scal_ref[0]
     d2t, d2ct = _thresholds(ell, p)
     cap = X.shape[1]
-    n_strips = cap // tn
+    n_t = cap // tn
 
-    # pass 1: flow moments, accumulated into the (16,128) scratch
+    # pass 1: flow moments. For conditioning, the per-point quantity
+    # accumulated is d_i = sum_j A_ij (y_j - x_i) — locally SMALL (|y-x| is
+    # bounded by the gate radius), unlike the raw moment sum_j A_ij y_j whose
+    # antisymmetric part would cancel catastrophically in f32 when clouds sit
+    # metres from the origin. omega = sum_i x_i x d_i (antisym of X @ D,
+    # exact: antisym(s_i x_i x_i^T) = 0) and v = sum_i d_i directly — this
+    # matches the reference's per-pair formulation (cvo.cpp:222-223).
     cc_scr[:] = jnp.zeros((16, 128), jnp.float32)
 
     def strip_flow(s, _):
         xs = X[:, pl.ds(s * tn, tn)]
         fs = F[:, pl.ds(s * tn, tn)]
         ms = M[:, pl.ds(s * tn, tn)]
-        gate, a, _ = _pair_tile(xs, fs, ms, Y[:], FY[:], MY[:],
-                                ell, d2t, d2ct, p)
-        keep = gate & (a > p.sp_thres)
-        A = jnp.where(keep, a, 0.0)
-        m = jax.lax.dot_general(A, Y[:], (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                                precision=jax.lax.Precision.HIGHEST)
-        s2d = jnp.sum(A, axis=1, keepdims=True)
-        m_aug = jnp.concatenate([m, s2d, jnp.zeros_like(s2d)], axis=1)
+        xts = XT[pl.ds(s * tn, tn), :]                 # (tn, 128), cols 0..2
+        m_scr[:] = jnp.zeros((tn, 128), jnp.float32)
+
+        def ytile(t, _):
+            @pl.when(skip_ref[s * n_t + t] > 0)
+            def _():
+                ys = Y[:, pl.ds(t * tn, tn)]
+                fys = FY[:, pl.ds(t * tn, tn)]
+                mys = MY[:, pl.ds(t * tn, tn)]
+                gate, a, _ = _pair_tile(xs, fs, ms, ys, fys, mys,
+                                        ell, d2t, d2ct, p)
+                keep = gate & (a > p.sp_thres)
+                A = jnp.where(keep, a, 0.0)
+                m = jax.lax.dot_general(A, ys, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32,
+                                        precision=jax.lax.Precision.HIGHEST)
+                s2d = jnp.sum(A, axis=1, keepdims=True)
+                rn = jnp.sum(keep.astype(jnp.float32), axis=1, keepdims=True)
+                contrib = jnp.concatenate([m, s2d, rn], axis=1)  # (tn, 10)
+                # d-contribution: cols 0..2 become m - s2d*x; cols 8 (s2d)
+                # and 9 (pair count) pass through (XT cols >2 are zero)
+                m_scr[:] = m_scr[:] + jnp.pad(contrib, ((0, 0), (0, 118))) \
+                    - s2d * xts
+            return 0
+
+        jax.lax.fori_loop(0, n_t, ytile, 0)
         ones_row = jnp.ones((1, tn), jnp.float32)
-        X_aug = jnp.concatenate([xs, ones_row], axis=0)
-        Cc = jax.lax.dot_general(X_aug, m_aug, (((1,), (0,)), ((), ())),
+        X_aug = jnp.concatenate([xs, ones_row], axis=0)            # (9, tn)
+        Cc = jax.lax.dot_general(X_aug, m_scr[:], (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32,
-                                 precision=jax.lax.Precision.HIGHEST)
-        nnz = jnp.sum(keep.astype(jnp.float32))
+                                 precision=jax.lax.Precision.HIGHEST)  # (9,128)
         r = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 0)
-        c = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 1)
-        padded = jnp.pad(Cc, ((0, 7), (0, 118)))
-        cc_scr[:] = cc_scr[:] + jnp.where((r < 9) & (c < 10), padded, 0.0) \
-            + jnp.where((r == 15) & (c == 0), nnz, 0.0)
+        cc_scr[:] = cc_scr[:] + jnp.where(r < 9, jnp.pad(Cc, ((0, 7), (0, 0))),
+                                          0.0)
         return 0
 
-    jax.lax.fori_loop(0, n_strips, strip_flow, 0)
+    jax.lax.fori_loop(0, n_t, strip_flow, 0)
+    # layout after the X_aug contraction: Cc[a,b] (a,b<3) = sum_i x_a d_b;
+    # row 8 cols 0..2 = sum_i d_i = v (unscaled); row 8 col 9 = total nnz.
 
     # flow epilogue: omega/v scalars from the moment matrix
     w0 = (cc_scr[1, 2] - cc_scr[2, 1]) / p.c
     w1 = (cc_scr[2, 0] - cc_scr[0, 2]) / p.c
     w2 = (cc_scr[0, 1] - cc_scr[1, 0]) / p.c
-    v0 = (cc_scr[8, 0] - cc_scr[0, 8]) / p.d
-    v1 = (cc_scr[8, 1] - cc_scr[1, 8]) / p.d
-    v2 = (cc_scr[8, 2] - cc_scr[2, 8]) / p.d
-
-    # pass 2: step-size quartic coefficients with the fresh omega/v
-    y0r, y1r, y2r = Y[0, :], Y[1, :], Y[2, :]
+    v0 = cc_scr[8, 0] / p.d
+    v1 = cc_scr[8, 1] / p.d
+    v2 = cc_scr[8, 2] / p.d
 
     def omega_cross(a0, a1, a2):
         return (w1 * a2 - w2 * a1, w2 * a0 - w0 * a2, w0 * a1 - w1 * a0)
 
-    xiz = omega_cross(y0r, y1r, y2r)
-    xiz = (xiz[0] + v0, xiz[1] + v1, xiz[2] + v2)
-    xi2z = omega_cross(*xiz)
-    xi3z = omega_cross(*xi2z)
-    xi4z = omega_cross(*xi3z)
-
     def rowdot(u, w):
         return u[0] * w[0] + u[1] * w[1] + u[2] * w[2]
 
-    yv = (y0r, y1r, y2r)
-    normxiz2 = rowdot(xiz, xiz)
-    xiz_dot_xi2z = -rowdot(xiz, xi2z)
-    epsil_const = rowdot(xi2z, xi2z) + 2.0 * rowdot(xiz, xi3z)
-    zero_rows = jnp.zeros((5, cap), jnp.float32)
-    U_all = [jnp.concatenate([u[0][None, :], u[1][None, :], u[2][None, :],
-                              zero_rows], axis=0) for u in (xiz, xi2z, xi3z,
-                                                            xi4z)]
-    ud_y = [rowdot(u, yv) for u in (xiz, xi2z, xi3z, xi4z)]
     tc = 1.0 / (2.0 * ell * ell)
 
-    def strip_step(s, acc):
-        B_a, C_a, D_a, E_a = acc
+    # pass 2: step-size quartic coefficients with the fresh omega/v.
+    # The xi^n z rows are elementwise in y, so they are rebuilt per Y tile
+    # (O(tn) work against the tile's O(tn^2)) keeping everything VMEM-local.
+    bcde_scr[:] = jnp.zeros((8, 128), jnp.float32)
+
+    def strip_step(s, _):
         xs = X[:, pl.ds(s * tn, tn)]
         fs = F[:, pl.ds(s * tn, tn)]
         ms = M[:, pl.ds(s * tn, tn)]
-        gate, a, _ = _pair_tile(xs, fs, ms, Y[:], FY[:], MY[:],
-                                ell, d2t, d2ct, p)
-        A = jnp.where(gate & (a > p.sp_thres), a, 0.0)
 
-        def xd(i):
-            d = jax.lax.dot_general(xs, U_all[i], (((0,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32,
-                                    precision=jax.lax.Precision.HIGHEST)
-            return d - ud_y[i][None, :]
+        def ytile(t, _):
+            @pl.when(skip_ref[s * n_t + t] > 0)
+            def _():
+                ys = Y[:, pl.ds(t * tn, tn)]
+                fys = FY[:, pl.ds(t * tn, tn)]
+                mys = MY[:, pl.ds(t * tn, tn)]
+                gate, a, _ = _pair_tile(xs, fs, ms, ys, fys, mys,
+                                        ell, d2t, d2ct, p)
+                A = jnp.where(gate & (a > p.sp_thres), a, 0.0)
 
-        beta = -2.0 * tc * xd(0)
-        gamma = -tc * (normxiz2[None, :] + 2.0 * xd(1))
-        delta = 2.0 * tc * (xiz_dot_xi2z[None, :] - xd(2))
-        epsil = -tc * (epsil_const[None, :] + 2.0 * xd(3))
-        B_a = B_a + jnp.sum(A * beta)
-        C_a = C_a + jnp.sum(A * (gamma + beta * beta * 0.5))
-        D_a = D_a + jnp.sum(A * (delta + beta * gamma + beta ** 3 / 6.0))
-        E_a = E_a + jnp.sum(A * (epsil + beta * delta
-                                 + 0.5 * beta * beta * gamma
-                                 + 0.5 * gamma * gamma + beta ** 4 / 24.0))
-        return (B_a, C_a, D_a, E_a)
+                y0, y1, y2 = ys[0, :], ys[1, :], ys[2, :]
+                xiz = omega_cross(y0, y1, y2)
+                xiz = (xiz[0] + v0, xiz[1] + v1, xiz[2] + v2)
+                xi2z = omega_cross(*xiz)
+                xi3z = omega_cross(*xi2z)
+                xi4z = omega_cross(*xi3z)
+                yv = (y0, y1, y2)
+                normxiz2 = rowdot(xiz, xiz)
+                xiz_dot_xi2z = -rowdot(xiz, xi2z)
+                epsil_const = rowdot(xi2z, xi2z) + 2.0 * rowdot(xiz, xi3z)
+                zero_rows = jnp.zeros((5, tn), jnp.float32)
 
-    B, C, D, E = jax.lax.fori_loop(
-        0, n_strips, strip_step,
-        (jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
-         jnp.float32(0.0)))
+                def xd(u):
+                    U8 = jnp.concatenate([u[0][None, :], u[1][None, :],
+                                          u[2][None, :], zero_rows], axis=0)
+                    d = jax.lax.dot_general(xs, U8, (((0,), (0,)), ((), ())),
+                                            preferred_element_type=jnp.float32,
+                                            precision=jax.lax.Precision.HIGHEST)
+                    return d - rowdot(u, yv)[None, :]
+
+                beta = -2.0 * tc * xd(xiz)
+                gamma = -tc * (normxiz2[None, :] + 2.0 * xd(xi2z))
+                delta = 2.0 * tc * (xiz_dot_xi2z[None, :] - xd(xi3z))
+                epsil = -tc * (epsil_const[None, :] + 2.0 * xd(xi4z))
+                dB = jnp.sum(A * beta)
+                dC = jnp.sum(A * (gamma + beta * beta * 0.5))
+                dD = jnp.sum(A * (delta + beta * gamma + beta ** 3 / 6.0))
+                dE = jnp.sum(A * (epsil + beta * delta
+                                  + 0.5 * beta * beta * gamma
+                                  + 0.5 * gamma * gamma + beta ** 4 / 24.0))
+                bcde_scr[:] = bcde_scr[:] + _scalar_block([dB, dC, dD, dE])
+            return 0
+
+        jax.lax.fori_loop(0, n_t, ytile, 0)
+        return 0
+
+    jax.lax.fori_loop(0, n_t, strip_step, 0)
 
     r = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 1)
-    out[:] = jnp.where((r < 14) | (r == 15), cc_scr[:], 0.0) \
-        + jnp.where((r == 14) & (c == 0), B, 0.0) \
-        + jnp.where((r == 14) & (c == 1), C, 0.0) \
-        + jnp.where((r == 14) & (c == 2), D, 0.0) \
-        + jnp.where((r == 14) & (c == 3), E, 0.0)
+    out[:] = jnp.where(r < 14, cc_scr[:], 0.0) \
+        + jnp.where((r == 14) & (c == 0), bcde_scr[0, 0], 0.0) \
+        + jnp.where((r == 14) & (c == 1), bcde_scr[1, 0], 0.0) \
+        + jnp.where((r == 14) & (c == 2), bcde_scr[2, 0], 0.0) \
+        + jnp.where((r == 14) & (c == 3), bcde_scr[3, 0], 0.0)
 
 
 @functools.partial(jax.jit, static_argnames=("p",))
@@ -497,27 +591,33 @@ def flow_and_step(x, y, fx, fy, mx, my, ell, p: CvoParams):
     tn = _tn(cap, pref=128)
     X, F, M = _pack(x, fx, mx)
     Y, FY, MY = _pack(y, fy, my)
-    ell_arr = jnp.asarray(ell, jnp.float32).reshape(1)
-    full = lambda i, s: (0, 0)
+    XT = jnp.zeros((cap, 128), jnp.float32).at[:, 0:3].set(x)
+    ell = jnp.asarray(ell, jnp.float32)
+    ell_arr = ell.reshape(1)
+    skip = _skip_flags(x, mx, y, my, ell, tn, p)
+    full = lambda i, s, k: (0, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(1,),
         in_specs=[pl.BlockSpec((8, cap), full, memory_space=pltpu.VMEM)] * 2
         + [pl.BlockSpec((1, cap), full, memory_space=pltpu.VMEM)]
         + [pl.BlockSpec((8, cap), full, memory_space=pltpu.VMEM)] * 2
-        + [pl.BlockSpec((1, cap), full, memory_space=pltpu.VMEM)],
+        + [pl.BlockSpec((1, cap), full, memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec((cap, 128), full, memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((16, 128), full, memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((16, 128), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((16, 128), jnp.float32),
+                        pltpu.VMEM((tn, 128), jnp.float32),
+                        pltpu.VMEM((8, 128), jnp.float32)],
     )
     S = pl.pallas_call(
         functools.partial(_iter_kernel, p=p, tn=tn),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((16, 128), jnp.float32),
-    )(ell_arr, X, F, M, Y, FY, MY)
+    )(ell_arr, skip, X, F, M, Y, FY, MY, XT)
     omega = jnp.stack([S[1, 2] - S[2, 1], S[2, 0] - S[0, 2],
                        S[0, 1] - S[1, 0]]) / p.c
-    v = (S[8, 0:3] - jnp.stack([S[0, 8], S[1, 8], S[2, 8]])) / p.d
-    nnz = S[15, 0].astype(jnp.int32)
+    v = S[8, 0:3] / p.d
+    nnz = S[8, 9].astype(jnp.int32)
     return omega, v, nnz, S[14, 0], S[14, 1], S[14, 2], S[14, 3]
 
 
@@ -527,72 +627,103 @@ def flow_and_step(x, y, fx, fy, mx, my, ell, p: CvoParams):
 # them in ONE launch (5 internal strip passes sharing the resident clouds).
 # ---------------------------------------------------------------------------
 
-def _ip_suite_kernel(ell_ref, X, F, M, Y, FY, MY, YT, UX, UYT, out, g_scr, *,
-                     p: CvoParams, tn: int):
+def _ip_suite_kernel(ell_ref, skip_ref, X, F, M, Y, FY, MY, YT, UX, UYT, out,
+                     g_scr, s_scr, *, p: CvoParams, tn: int):
     ell = ell_ref[0]
     d2t, d2ct = _thresholds(ell, p)
     cap = X.shape[1]
-    n_strips = cap // tn
+    n_t = cap // tn
+    nt2 = n_t * n_t
 
-    def sum_count(Apos, Afeat, Amask, Bpos, Bfeat, Bmask):
-        def strip(s, acc):
-            sa, cnt = acc
+    # accumulator rows in s_scr: (row, col 0) = sum, (row, col 1) = count
+    s_scr[:] = jnp.zeros((8, 128), jnp.float32)
+    r8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    c8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+
+    def sum_count(base, row, Apos, Afeat, Amask, Bpos, Bfeat, Bmask):
+        def strip(s, _):
             xs = Apos[:, pl.ds(s * tn, tn)]
             fs = Afeat[:, pl.ds(s * tn, tn)]
             ms = Amask[:, pl.ds(s * tn, tn)]
-            gate, a, _ = _pair_tile(xs, fs, ms, Bpos[:], Bfeat[:], Bmask[:],
-                                    ell, d2t, d2ct, p)
-            a = jnp.where(gate, a, 0.0)
-            return (sa + jnp.sum(a), cnt + jnp.sum(gate.astype(jnp.float32)))
-        return jax.lax.fori_loop(0, n_strips, strip,
-                                 (jnp.float32(0.0), jnp.float32(0.0)))
 
-    pre_s, pre_c = sum_count(Y, FY, MY, X, F, M)
-    post_s, post_c = sum_count(YT, FY, MY, X, F, M)
-    fix_s, fix_c = sum_count(X, F, M, X, F, M)
-    mov_s, mov_c = sum_count(Y, FY, MY, Y, FY, MY)
+            def ytile(t, _):
+                @pl.when(skip_ref[base + s * n_t + t] > 0)
+                def _():
+                    ys = Bpos[:, pl.ds(t * tn, tn)]
+                    fys = Bfeat[:, pl.ds(t * tn, tn)]
+                    mys = Bmask[:, pl.ds(t * tn, tn)]
+                    gate, a, _ = _pair_tile(xs, fs, ms, ys, fys, mys,
+                                            ell, d2t, d2ct, p)
+                    a = jnp.where(gate, a, 0.0)
+                    s_scr[:] = s_scr[:] \
+                        + jnp.where((r8 == row) & (c8 == 0), jnp.sum(a), 0.0) \
+                        + jnp.where((r8 == row) & (c8 == 1),
+                                    jnp.sum(gate.astype(jnp.float32)), 0.0)
+                return 0
 
-    # Hessian moment pass: weight k * (f_a . f_b) over (YT vs X)
+            jax.lax.fori_loop(0, n_t, ytile, 0)
+            return 0
+
+        jax.lax.fori_loop(0, n_t, strip, 0)
+
+    sum_count(0 * nt2, 0, Y, FY, MY, X, F, M)       # pre
+    sum_count(1 * nt2, 1, YT, FY, MY, X, F, M)      # post
+    sum_count(2 * nt2, 2, X, F, M, X, F, M)         # fixed self
+    sum_count(3 * nt2, 3, Y, FY, MY, Y, FY, MY)     # moving self
+
+    # Hessian moment pass: weight k * (f_a . f_b) over (YT vs X) — shares the
+    # post-pass skip flags (same cloud pair)
     g_scr[:] = jnp.zeros((16, 128), jnp.float32)
+    c16 = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 1)
 
     def strip_g(s, _):
         xs = YT[:, pl.ds(s * tn, tn)]
         fs = FY[:, pl.ds(s * tn, tn)]
         ms = MY[:, pl.ds(s * tn, tn)]
         us = UYT[:, pl.ds(s * tn, tn)]
-        gate, _, d2 = _pair_tile(xs, fs, ms, X[:], F[:], M[:],
-                                 ell, d2t, d2ct, p)
-        contract = (((0,), (0,)), ((), ()))
-        cdot = jax.lax.dot_general(fs, F[:], contract,
-                                   preferred_element_type=jnp.float32,
-                                   precision=jax.lax.Precision.HIGHEST)
-        k = (p.sigma * p.sigma) * jnp.exp(
-            jnp.maximum(-d2 / (2.0 * ell * ell), -20.0))
-        W = jnp.where(gate, k * cdot, 0.0)
-        WU = jax.lax.dot_general(W, UX[:], (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32,
-                                 precision=jax.lax.Precision.HIGHEST)
-        G = jax.lax.dot_general(us, WU, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                                precision=jax.lax.Precision.HIGHEST)
-        c = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 1)
-        g_scr[:] = g_scr[:] + jnp.where(c < 16, jnp.pad(G, ((0, 0), (0, 112))),
-                                        0.0)
+
+        def ytile(t, _):
+            @pl.when(skip_ref[nt2 + s * n_t + t] > 0)
+            def _():
+                ys = X[:, pl.ds(t * tn, tn)]
+                fys = F[:, pl.ds(t * tn, tn)]
+                mys = M[:, pl.ds(t * tn, tn)]
+                ux = UX[:, pl.ds(t * tn, tn)]
+                gate, _, d2 = _pair_tile(xs, fs, ms, ys, fys, mys,
+                                         ell, d2t, d2ct, p)
+                contract = (((0,), (0,)), ((), ()))
+                cdot = jax.lax.dot_general(fs, fys, contract,
+                                           preferred_element_type=jnp.float32,
+                                           precision=jax.lax.Precision.HIGHEST)
+                k = (p.sigma * p.sigma) * jnp.exp(
+                    jnp.maximum(-d2 / (2.0 * ell * ell), -20.0))
+                W = jnp.where(gate, k * cdot, 0.0)
+                WU = jax.lax.dot_general(W, ux, (((1,), (1,)), ((), ())),
+                                         preferred_element_type=jnp.float32,
+                                         precision=jax.lax.Precision.HIGHEST)
+                G = jax.lax.dot_general(us, WU, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32,
+                                        precision=jax.lax.Precision.HIGHEST)
+                g_scr[:] = g_scr[:] + jnp.where(
+                    c16 < 16, jnp.pad(G, ((0, 0), (0, 112))), 0.0)
+            return 0
+
+        jax.lax.fori_loop(0, n_t, ytile, 0)
         return 0
 
-    jax.lax.fori_loop(0, n_strips, strip_g, 0)
+    jax.lax.fori_loop(0, n_t, strip_g, 0)
 
     r = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 1)
     out[:] = jnp.where((r < 13) & (c < 13), g_scr[:], 0.0) \
-        + jnp.where((r == 15) & (c == 0), pre_s, 0.0) \
-        + jnp.where((r == 15) & (c == 1), pre_c, 0.0) \
-        + jnp.where((r == 15) & (c == 2), post_s, 0.0) \
-        + jnp.where((r == 15) & (c == 3), post_c, 0.0) \
-        + jnp.where((r == 15) & (c == 4), fix_s, 0.0) \
-        + jnp.where((r == 15) & (c == 5), fix_c, 0.0) \
-        + jnp.where((r == 15) & (c == 6), mov_s, 0.0) \
-        + jnp.where((r == 15) & (c == 7), mov_c, 0.0)
+        + jnp.where((r == 15) & (c == 0), s_scr[0, 0], 0.0) \
+        + jnp.where((r == 15) & (c == 1), s_scr[0, 1], 0.0) \
+        + jnp.where((r == 15) & (c == 2), s_scr[1, 0], 0.0) \
+        + jnp.where((r == 15) & (c == 3), s_scr[1, 1], 0.0) \
+        + jnp.where((r == 15) & (c == 4), s_scr[2, 0], 0.0) \
+        + jnp.where((r == 15) & (c == 5), s_scr[2, 1], 0.0) \
+        + jnp.where((r == 15) & (c == 6), s_scr[3, 0], 0.0) \
+        + jnp.where((r == 15) & (c == 7), s_scr[3, 1], 0.0)
 
 
 @functools.partial(jax.jit, static_argnames=("p",))
@@ -607,10 +738,17 @@ def ip_suite(x, fx, mx, y, fy, my, yt, ell, p: CvoParams):
     YT = jnp.zeros((8, cap), jnp.float32).at[0:3, :].set(yt.T)
     UX = _lift_u_packed(x)
     UYT = _lift_u_packed(yt)
-    ell_arr = jnp.asarray(ell, jnp.float32).reshape(1)
-    full = lambda i, s: (0, 0)
+    ell = jnp.asarray(ell, jnp.float32)
+    ell_arr = ell.reshape(1)
+    skip = jnp.concatenate([
+        _skip_flags(y, my, x, mx, ell, tn, p),    # pre
+        _skip_flags(yt, my, x, mx, ell, tn, p),   # post (+ Hessian pass)
+        _skip_flags(x, mx, x, mx, ell, tn, p),    # fixed self
+        _skip_flags(y, my, y, my, ell, tn, p),    # moving self
+    ])
+    full = lambda i, s, k: (0, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(1,),
         in_specs=[pl.BlockSpec((8, cap), full, memory_space=pltpu.VMEM)] * 2
         + [pl.BlockSpec((1, cap), full, memory_space=pltpu.VMEM)]
@@ -619,13 +757,14 @@ def ip_suite(x, fx, mx, y, fy, my, yt, ell, p: CvoParams):
         + [pl.BlockSpec((8, cap), full, memory_space=pltpu.VMEM)]
         + [pl.BlockSpec((16, cap), full, memory_space=pltpu.VMEM)] * 2,
         out_specs=pl.BlockSpec((16, 128), full, memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((16, 128), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((16, 128), jnp.float32),
+                        pltpu.VMEM((8, 128), jnp.float32)],
     )
     S = pl.pallas_call(
         functools.partial(_ip_suite_kernel, p=p, tn=tn),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((16, 128), jnp.float32),
-    )(ell_arr, X, F, M, Y, FY, MY, YT, UX, UYT)
+    )(ell_arr, skip, X, F, M, Y, FY, MY, YT, UX, UYT)
     G = S[0:13, 0:13]
     row = S[15]
 

@@ -173,6 +173,7 @@ def optimize_relative_transformation(kps_2d: np.ndarray, pts_3d: np.ndarray,
     from ..ops import se3
     import jax.numpy as jnp
 
+    LAM_MAX = 1e12   # damping this high means dx ~ 0; further tries are noise
     chi2 = chi2_of(E)
     for _ in range(iterations):
         e, J = residuals_jac(E)
@@ -182,11 +183,13 @@ def optimize_relative_transformation(kps_2d: np.ndarray, pts_3d: np.ndarray,
         b = -np.einsum("nki,n,nk->i", J, rw, e)
         if lam < 0:
             lam = 1e-5 * np.max(np.diag(H))
+        if lam >= LAM_MAX:
+            break
         for _try in range(10):
             try:
                 dx = np.linalg.solve(H + lam * np.eye(6), b)
             except np.linalg.LinAlgError:
-                lam *= ni
+                lam = min(lam * ni, LAM_MAX)
                 ni *= 2
                 continue
             E_try = np.asarray(se3.exp_se3(jnp.asarray(dx, jnp.float32)),
@@ -199,8 +202,10 @@ def optimize_relative_transformation(kps_2d: np.ndarray, pts_3d: np.ndarray,
                 lam *= max(1.0 / 3.0, 1.0 - (2 * rho - 1) ** 3)
                 ni = 2.0
                 break
-            lam *= ni
+            lam = min(lam * ni, LAM_MAX)
             ni *= 2
+            if lam >= LAM_MAX:
+                break
     return np.linalg.inv(E)
 
 

@@ -10,7 +10,14 @@ Fidelity notes:
     (pcd_generator.cpp:624 after cv::imread in run_SLAM.cpp:137), i.e. the
     luma weights are applied to swapped channels; callers here are expected to
     pass exactly that gray image (see data.tum.load_image).
-  * points are emitted in raster order; slots beyond `count` are masked.
+  * valid slots are Morton-ordered (Z-order over the cloud's 3-D bounding
+    box) rather than raster-ordered: the CVO pairwise Pallas kernels skip
+    whole (tile, tile) blocks whose bounding boxes are farther apart than the
+    kernel gate radius, and Morton order makes tiles spatially compact (the
+    TPU analogue of the reference's nanoflann kd-tree, cvo.cpp:122-139).
+    Every consumer of the cloud/pixel arrays is order-insensitive (masked
+    sums; set-style pixel gating in ORB extraction). Slots beyond `count`
+    are masked.
 """
 
 from __future__ import annotations
@@ -33,6 +40,28 @@ class PointCloudHost:
     mask: np.ndarray        # (CAP,) bool
     count: int
     selected_pixels: np.ndarray  # (CAP, 2) int32 (x, y); CVO_selected_points
+
+
+def _morton_order(pos: np.ndarray) -> np.ndarray:
+    """Permutation sorting points along a 3-D Z-order (Morton) curve.
+
+    10 bits per axis over the point set's bounding box; ties keep input
+    (raster) order via stable argsort."""
+    lo = pos.min(axis=0)
+    span = np.maximum(pos.max(axis=0) - lo, 1e-9)
+    q = ((pos - lo) / span * 1023.0).astype(np.uint64)
+    q = np.minimum(q, 1023)
+
+    def spread(v):  # interleave: bits of v spaced 3 apart (magic-bits trick)
+        v = (v | (v << 16)) & np.uint64(0x030000FF)
+        v = (v | (v << 8)) & np.uint64(0x0300F00F)
+        v = (v | (v << 4)) & np.uint64(0x030C30C3)
+        v = (v | (v << 2)) & np.uint64(0x09249249)
+        return v
+
+    code = spread(q[:, 0]) | (spread(q[:, 1]) << np.uint64(1)) \
+        | (spread(q[:, 2]) << np.uint64(2))
+    return np.argsort(code, kind="stable")
 
 
 def create_pointcloud(bgr: np.ndarray, gray: np.ndarray, depth: np.ndarray,
@@ -71,4 +100,9 @@ def create_pointcloud(bgr: np.ndarray, gray: np.ndarray, depth: np.ndarray,
     mask[:n] = True
     pix[:n, 0] = xs
     pix[:n, 1] = ys
+    if n > 1:
+        order = _morton_order(positions[:n])
+        positions[:n] = positions[order]
+        features[:n] = features[order]
+        pix[:n] = pix[order]
     return PointCloudHost(positions, features, mask, n, pix)

@@ -91,8 +91,13 @@ def flow(x, y, fx, fy, mx, my, ell, p: CvoParams):
     A, keep = cvo_kernel(x, y, fx, fy, mx, my, ell, p)
     m = A @ y                      # (N,3) row-wise weighted moving moments
     s = jnp.sum(A, axis=1)         # (N,) row sums
-    omega = jnp.sum(jnp.cross(x, m), axis=0) / p.c
-    v = jnp.sum(m - s[:, None] * x, axis=0) / p.d
+    # conditioning: accumulate the locally-small d_i = sum_j A_ij (y_j - x_i)
+    # and take omega = sum x_i x d_i (exact: x x x = 0). The raw
+    # sum cross(x, m) cancels catastrophically in f32 when clouds sit metres
+    # from the origin (matches the Pallas kernels' formulation).
+    d = m - s[:, None] * x
+    omega = jnp.sum(jnp.cross(x, d), axis=0) / p.c
+    v = jnp.sum(d, axis=0) / p.d
     nnz = jnp.sum(keep)
     return omega, v, A, nnz
 

@@ -118,3 +118,115 @@ def test_ip_suite_parity():
     np.testing.assert_allclose(np.asarray(G) / scale,
                                np.asarray(G_ref) / scale, atol=1e-5)
     assert int(inl) == int(inl_ref)
+
+
+def _morton_clouds(seed, cap=1024):
+    """Morton-ordered clusters spread over ~4 m so many tile pairs are
+    farther apart than the kernel gate radius (exercises tile skipping)."""
+    from cvo_slam_tpu.frontend.pointcloud import _morton_order
+    rng = np.random.default_rng(seed)
+    n = cap - 17
+    centers = rng.uniform(-2.0, 2.0, (8, 3))
+    x = (centers[rng.integers(0, 8, n)]
+         + rng.normal(0, 0.08, (n, 3))).astype(np.float32)
+    y = (x + rng.normal(0, 0.03, (n, 3))).astype(np.float32)
+    x = x[_morton_order(x)]
+    y = y[_morton_order(y)]
+
+    def pad_pos(p):
+        out = np.full((cap, 3), 55.0, np.float32)
+        out[:n] = p
+        return out
+
+    f = np.zeros((cap, 5), np.float32)
+    f[:n, :3] = rng.uniform(0, 255, (n, 3))
+    m = np.zeros(cap, bool)
+    m[:n] = True
+    return (jnp.asarray(pad_pos(x)), jnp.asarray(f), jnp.asarray(m),
+            jnp.asarray(pad_pos(y)), jnp.asarray(f), jnp.asarray(m))
+
+
+@pytest.mark.parametrize("ell", [0.15, 0.05])
+def test_tile_skipping_exactness(ell):
+    """Skipping must be a pure work optimization: results with the computed
+    skip flags are BITWISE equal to results with skipping disabled (all
+    tiles computed), because skipped tiles contain no gated pair. Tolerant
+    cross-path comparison (pallas vs jnp) lives in the other parity tests;
+    on clustered clouds a single borderline a>sp_thres rounding flip between
+    paths shifts omega by percents, so exact checks must stay within one
+    path."""
+    x, fx, mx, y, fy, my = _morton_clouds(11)
+    skip = np.asarray(pk._skip_flags(x, mx, y, my, jnp.float32(ell), 128, P))
+    assert skip.min() == 0, "test must actually exercise skipped tiles"
+    assert skip.max() == 1
+
+    with pltpu.force_tpu_interpret_mode():
+        got = pk.flow_and_step(x, y, fx, fy, mx, my, jnp.float32(ell), P)
+        st = pk.pair_stats(x, fx, mx, y, fy, my, jnp.float32(ell), P,
+                           with_moments=True)
+
+    real_skip = pk._skip_flags
+    pk._skip_flags = lambda *a, **k: jnp.ones_like(real_skip(*a, **k))
+    try:
+        # new jit keys (different closure) would still cache-hit the same
+        # trace; clear to force retrace with the all-ones flags
+        pk.flow_and_step.clear_cache()
+        pk.pair_stats.clear_cache()
+        with pltpu.force_tpu_interpret_mode():
+            ref = pk.flow_and_step(x, y, fx, fy, mx, my, jnp.float32(ell), P)
+            st_ref = pk.pair_stats(x, fx, mx, y, fy, my, jnp.float32(ell), P,
+                                   with_moments=True)
+    finally:
+        pk._skip_flags = real_skip
+        pk.flow_and_step.clear_cache()
+        pk.pair_stats.clear_cache()
+
+    for g, r in zip(got, ref):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+    for g, r in zip(st, st_ref):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+
+    # sanity vs the jnp reference path (loose: gate-boundary flips allowed)
+    o_r, v_r, A_r, nnz_r = pairwise.flow(x, y, fx, fy, mx, my,
+                                         jnp.float32(ell), P)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(v_r), rtol=0.05,
+                               atol=5e-5)
+    assert abs(int(got[2]) - int(nnz_r)) <= 3
+
+
+def test_ip_suite_skipping_parity():
+    ell = 0.10
+    from cvo_slam_tpu.ops import se3
+    x, fx, mx, y, fy, my = _morton_clouds(13)
+    tran = se3.exp_se3(jnp.asarray(
+        np.array([0.01, 0.02, -0.01, 0.03, -0.02, 0.01], np.float32)))
+    yt = se3.transform_points(tran, y)
+    with pltpu.force_tpu_interpret_mode():
+        out = pk.ip_suite(x, fx, mx, y, fy, my, yt, jnp.float32(ell), P)
+    (pre, pre_n, post, post_n, fixv, fix_n, mov, mov_n, G, inl) = out
+    ref = [pairwise.inner_product(y, fy, my, x, fx, mx, jnp.float32(ell), P),
+           pairwise.inner_product(yt, fy, my, x, fx, mx, jnp.float32(ell), P),
+           pairwise.inner_product(x, fx, mx, x, fx, mx, jnp.float32(ell), P),
+           pairwise.inner_product(y, fy, my, y, fy, my, jnp.float32(ell), P)]
+    for (g_v, g_n), (r_v, r_n) in zip(
+            [(pre, pre_n), (post, post_n), (fixv, fix_n), (mov, mov_n)], ref):
+        np.testing.assert_allclose(float(g_v), float(r_v), rtol=1e-4)
+        assert int(g_n) == int(r_n)
+    G_ref, inl_ref = pairwise.hessian_moments(yt, fy, my, x, fx, mx,
+                                              jnp.float32(ell), P)
+    scale = max(np.abs(np.asarray(G_ref)).max(), 1.0)
+    np.testing.assert_allclose(np.asarray(G) / scale,
+                               np.asarray(G_ref) / scale, atol=1e-5)
+    assert int(inl) == int(inl_ref)
+
+
+def test_morton_order_properties():
+    from cvo_slam_tpu.frontend.pointcloud import _morton_order
+    rng = np.random.default_rng(5)
+    pts = rng.uniform(-3, 3, (1000, 3)).astype(np.float32)
+    order = _morton_order(pts)
+    assert sorted(order.tolist()) == list(range(1000))
+    # locality: mean consecutive-point distance far below random order
+    sorted_d = np.linalg.norm(np.diff(pts[order], axis=0), axis=1).mean()
+    rand_d = np.linalg.norm(np.diff(pts, axis=0), axis=1).mean()
+    assert sorted_d < 0.5 * rand_d
