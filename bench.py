@@ -80,7 +80,10 @@ def _measure():
     log(f"backend={backend}")
 
     def frame_step(kf_cloud, prev_cloud, cur_cloud, ell):
-        """Device work of one tracked frame: 2 aligns + 2 innerproduct passes."""
+        """Device work of one tracked frame: 2 aligns + 2 innerproduct
+        passes. (Wrapping the whole frame in one jit trips an opaque
+        'TPU backend error (InvalidArgument)' in this container's tunnel
+        runtime — see PERF_NOTES.md — so each stage dispatches alone.)"""
         r1 = engine.align(prev_cloud, cur_cloud, eye3, zero3, ell, p, backend)
         ip1 = engine.compute_innerproduct(prev_cloud, cur_cloud,
                                           r1.transform, r1.ell, p, backend)

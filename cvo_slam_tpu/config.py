@@ -85,6 +85,12 @@ class CvoParams:
     # Hessian post-scale (cvo.cpp:727) and eigenvalue floor target (:740)
     hessian_scale: float = -1.0 / 100000.0
     hessian_min_abs_eig: float = 1.0
+    # Fused-align tile skipping: skip flags are computed once per alignment
+    # from the warm-start pose with the gate radius inflated by this margin
+    # (metres). The kernel tracks a conservative bound on accumulated point
+    # motion and force-computes every tile once it exceeds the margin, so
+    # skipping stays exact for arbitrarily large corrections.
+    skip_margin: float = 0.04
 
 
 @dataclass(frozen=True)

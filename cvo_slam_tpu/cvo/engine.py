@@ -36,7 +36,15 @@ from ..frontend.pointcloud import PointCloudHost
 
 
 def default_backend() -> str:
-    """'pallas' on TPU (fused VMEM-resident kernels), 'xla' elsewhere."""
+    """'pallas' on TPU (fused VMEM-resident kernels), 'xla' elsewhere.
+
+    Override with CVO_SLAM_BACKEND=xla|pallas|pallas_iter ('pallas' = the
+    whole-align megakernel, 'pallas_iter' = one fused launch per align
+    iteration with the loop in XLA)."""
+    import os
+    env = os.environ.get("CVO_SLAM_BACKEND", "")
+    if env in ("xla", "pallas", "pallas_iter"):
+        return env
     return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
@@ -64,7 +72,15 @@ class AlignResult(NamedTuple):
 @partial(jax.jit, static_argnames=("p", "backend"))
 def align(fixed: PointCloud, moving: PointCloud, R0, T0, ell0,
           p: CvoParams, backend: str = "xla") -> AlignResult:
-    """RKHS-SE(3) gradient-flow registration (cvo.cpp:763-821)."""
+    """RKHS-SE(3) gradient-flow registration (cvo.cpp:763-821).
+
+    backend: 'xla' (dense masked jnp ops), 'pallas' (whole-align megakernel,
+    ONE launch per alignment), or 'pallas_iter' (one fused launch per
+    iteration with the loop in XLA — the fallback/batched path)."""
+    if backend == "pallas":
+        from . import pallas_align
+        return pallas_align.align_fused(fixed, moving, R0, T0, ell0, p)
+
     x, fx, mx = fixed.positions, fixed.features, fixed.mask
     y0, fy, my = moving.positions, moving.features, moving.mask
 
@@ -74,7 +90,7 @@ def align(fixed: PointCloud, moving: PointCloud, R0, T0, ell0,
         Rt = R.T
         Tt = -(Rt @ T)
         y = y0 @ R + Tt[None, :]          # y0 @ (R^T)^T
-        if backend == "pallas":
+        if backend == "pallas_iter":
             from . import pallas_kernels as pk
             # one fused launch per iteration (flow + step-size coefficients)
             omega, v, nnz_k, B, C, D, E = pk.flow_and_step(
@@ -164,14 +180,14 @@ def hessian_postprocess(H_raw, inliers, p: CvoParams):
 
 
 def _ip(xa, fa, ma, xb, fb, mb, ell, p, backend):
-    if backend == "pallas":
+    if backend.startswith("pallas"):
         from . import pallas_kernels as pk
         return pk.pair_stats(xa, fa, ma, xb, fb, mb, ell, p)
     return pairwise.inner_product(xa, fa, ma, xb, fb, mb, ell, p)
 
 
 def _hess_raw(xa, fa, ma, xb, fb, mb, ell, p, backend):
-    if backend == "pallas":
+    if backend.startswith("pallas"):
         from . import pallas_kernels as pk
         _, _, G, inliers = pk.pair_stats(xa, fa, ma, xb, fb, mb, ell, p,
                                          with_moments=True)
@@ -190,7 +206,7 @@ def compute_innerproduct(fixed: PointCloud, moving: PointCloud, tran, ell,
     y, fy, my = moving.positions, moving.features, moving.mask
     yt = se3.transform_points(tran, y)
 
-    if backend == "pallas":
+    if backend.startswith("pallas"):
         from . import pallas_kernels as pk
         # all four inner products + Hessian moments in ONE kernel launch
         (pre_v, pre_n, post_v, post_n, fixed_v, fixed_n, moving_v, moving_n,

@@ -1,0 +1,483 @@
+"""Whole-alignment Pallas megakernel: the full CVO align loop in ONE launch.
+
+The per-iteration path (engine.align + pallas_kernels.flow_and_step) pays one
+kernel launch plus a round of XLA glue (transform, cubic solve, Exp, pose
+update) per iteration — 30-120 times per alignment. Here the entire loop
+(cvo.cpp:763-821) runs inside a single pallas_call: clouds stay VMEM-resident
+across iterations, the pose/ell/stop state is a scalar while_loop carry, and
+the epilogue math (quartic step solve :239-334, Exp_SEK3 LieGroup.cpp:159-186,
+the matrix-log stop test cvo.cpp:94-104, the ell anneal :810-812) is unrolled
+scalar arithmetic on the TPU scalar core.
+
+Mosaic has no acos/cbrt lowering, so:
+  * cbrt(x) = sign(x) * exp(log|x|/3);
+  * acos uses an Abramowitz-Stegun 4.4.45 seed polished by two Newton steps
+    on cos (|err| < 1e-6 — step size and stop tests are tolerance-level
+    quantities, bitwise parity with the XLA path is not required there).
+
+Tile skipping (see pallas_kernels): flags are computed once per call from the
+warm-start pose with the gate radius inflated by p.skip_margin; the kernel
+tracks a conservative bound on accumulated point motion and force-computes
+every tile once the bound exceeds the margin, so skipping stays exact.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import CvoParams
+from . import pallas_kernels as pk
+
+_PI = math.pi
+_BIG = 3.0e38   # plain float: jnp constants would be captured by the kernel
+_TOL = 1e-6   # LieGroup.cpp:18
+
+
+# ---------------------------------------------------------------------------
+# scalar math helpers (traced f32 scalars; run on the TPU scalar core)
+# ---------------------------------------------------------------------------
+
+def _acos(x):
+    x = jnp.clip(x, -1.0, 1.0)
+    ax = jnp.abs(x)
+    t = jnp.sqrt(jnp.maximum(1.0 - ax, 0.0))
+    seed = t * (1.5707288 + ax * (-0.2121144
+                                  + ax * (0.0742610 + ax * (-0.0187293))))
+    th = jnp.where(x < 0, _PI - seed, seed)
+    for _ in range(2):
+        s = jnp.maximum(jnp.sin(th), 1e-4)
+        th = th + jnp.clip((jnp.cos(th) - x) / s, -1e-3, 1e-3)
+    return th
+
+
+def _cbrt(x):
+    ax = jnp.abs(x)
+    r = jnp.exp(jnp.log(jnp.maximum(ax, 1e-38)) / 3.0)
+    r = jnp.where(ax < 1e-38, 0.0, r)
+    return jnp.where(x < 0, -r, r)
+
+
+def _min_pos_root(a, b, c, d, fallback, clamp):
+    """Scalar port of ops.cubic.min_positive_root_or (cvo.cpp:76-92,
+    317-333)."""
+    safe_a = jnp.where(jnp.abs(a) > 0.0, a, 1.0)
+    p_ = b / safe_a
+    q_ = c / safe_a
+    r_ = d / safe_a
+    pt = q_ - p_ * p_ / 3.0
+    qt = 2.0 * p_ ** 3 / 27.0 - p_ * q_ / 3.0 + r_
+    disc = (qt / 2.0) ** 2 + (pt / 3.0) ** 3
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t_single = _cbrt(-qt / 2.0 + sq) + _cbrt(-qt / 2.0 - sq)
+    m = jnp.maximum(-pt / 3.0, 1e-30)
+    sm = jnp.sqrt(m)
+    pt_safe = jnp.where(jnp.abs(pt) > 1e-30, pt, -3.0 * m)
+    cos_arg = jnp.clip(3.0 * qt / (2.0 * pt_safe * sm), -1.0, 1.0)
+    ang = _acos(cos_arg) / 3.0
+    three = disc <= 0.0
+    best = _BIG
+    for kk in range(3):
+        t_k = 2.0 * sm * jnp.cos(ang - 2.0 * _PI * kk / 3.0) - p_ / 3.0
+        root = jnp.where(three, t_k,
+                         (t_single - p_ / 3.0) if kk == 0 else _BIG)
+        root = jnp.where(jnp.abs(a) > 0.0, root, _BIG)
+        best = jnp.minimum(best, jnp.where(root > 0.0, root, _BIG))
+    step = jnp.where(best < 0.5 * _BIG, best, fallback)
+    return jnp.minimum(step, clamp)
+
+
+# mat3 = row-major 9-tuple of scalars; vec3 = 3-tuple
+def _matvec(R, v):
+    return (R[0] * v[0] + R[1] * v[1] + R[2] * v[2],
+            R[3] * v[0] + R[4] * v[1] + R[5] * v[2],
+            R[6] * v[0] + R[7] * v[1] + R[8] * v[2])
+
+
+def _mattvec(R, v):
+    return (R[0] * v[0] + R[3] * v[1] + R[6] * v[2],
+            R[1] * v[0] + R[4] * v[1] + R[7] * v[2],
+            R[2] * v[0] + R[5] * v[1] + R[8] * v[2])
+
+
+def _matmul(A, B):
+    out = []
+    for i in range(3):
+        for j in range(3):
+            out.append(A[3 * i] * B[j] + A[3 * i + 1] * B[3 + j]
+                       + A[3 * i + 2] * B[6 + j])
+    return tuple(out)
+
+
+def _norm3(v):
+    return jnp.sqrt(v[0] * v[0] + v[1] * v[1] + v[2] * v[2])
+
+
+def _rodrigues_terms(w, c1, c2):
+    """I + c1*skew(w) + c2*skew(w)^2 as a mat3 (A2 = w w^T - |w|^2 I)."""
+    ww = w[0] * w[0] + w[1] * w[1] + w[2] * w[2]
+    return (1.0 + c2 * (w[0] * w[0] - ww), c1 * (-w[2]) + c2 * w[0] * w[1],
+            c1 * w[1] + c2 * w[0] * w[2],
+            c1 * w[2] + c2 * w[0] * w[1], 1.0 + c2 * (w[1] * w[1] - ww),
+            c1 * (-w[0]) + c2 * w[1] * w[2],
+            c1 * (-w[1]) + c2 * w[0] * w[2], c1 * w[0] + c2 * w[1] * w[2],
+            1.0 + c2 * (w[2] * w[2] - ww))
+
+
+def _jl_terms(w, c0, c1, c2):
+    """c0*I + c1*skew(w) + c2*skew(w)^2."""
+    ww = w[0] * w[0] + w[1] * w[1] + w[2] * w[2]
+    return (c0 + c2 * (w[0] * w[0] - ww), c1 * (-w[2]) + c2 * w[0] * w[1],
+            c1 * w[1] + c2 * w[0] * w[2],
+            c1 * w[2] + c2 * w[0] * w[1], c0 + c2 * (w[1] * w[1] - ww),
+            c1 * (-w[0]) + c2 * w[1] * w[2],
+            c1 * (-w[1]) + c2 * w[0] * w[2], c1 * w[0] + c2 * w[1] * w[2],
+            c0 + c2 * (w[2] * w[2] - ww))
+
+
+def _exp_sek3_scalar(w, v, dt):
+    """Scaled exponential (LieGroup.cpp:159-186): returns (dR mat3, dT vec3).
+    Mirrors ops.se3.exp_sek3 including the TOL identity branch."""
+    theta = _norm3(w)
+    safe = theta >= _TOL
+    t = jnp.where(safe, theta, 1.0)
+    st = jnp.sin(dt * t)
+    ct = jnp.cos(dt * t)
+    one_m_ct_t2 = (1.0 - ct) / (t * t)
+    R = _rodrigues_terms(w, st / t, one_m_ct_t2)
+    Jl = _jl_terms(w, dt, one_m_ct_t2, (dt * t - st) / (t ** 3))
+    I9 = (1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+    R = tuple(jnp.where(safe, R[i], I9[i]) for i in range(9))
+    Jl = tuple(jnp.where(safe, Jl[i], dt * I9[i]) for i in range(9))
+    return R, _matvec(Jl, v)
+
+
+def _dist_se3_scalar(R, t):
+    """Frobenius norm of the 4x4 matrix log (cvo.cpp:94-104); mirrors
+    ops.se3.dist_se3."""
+    tr = R[0] + R[4] + R[8]
+    cos_t = jnp.clip(0.5 * (tr - 1.0), -1.0, 1.0)
+    theta = _acos(cos_t)
+    safe = theta >= _TOL
+    tt = jnp.where(safe, theta, 1.0)
+    st = jnp.where(safe, jnp.sin(tt), 1.0)
+    coef = tt / (2.0 * st)
+    w = (coef * (R[7] - R[5]), coef * (R[2] - R[6]), coef * (R[3] - R[1]))
+    w = tuple(jnp.where(safe, wi, 0.0) for wi in w)
+    # J_l^{-1}(w) t  (se3.left_jacobian_inv_so3 semantics incl. TOL branch)
+    cj = 1.0 / (tt * tt) - (1.0 + jnp.cos(tt)) / (2.0 * tt * jnp.sin(
+        jnp.where(safe, tt, 1.0)))
+    Jinv = _jl_terms(w, 1.0, -0.5, cj)
+    I9 = (1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+    Jinv = tuple(jnp.where(safe, Jinv[i], I9[i]) for i in range(9))
+    u = _matvec(Jinv, t)
+    return jnp.sqrt(2.0 * (w[0] ** 2 + w[1] ** 2 + w[2] ** 2)
+                    + u[0] ** 2 + u[1] ** 2 + u[2] ** 2)
+
+
+# ---------------------------------------------------------------------------
+# the megakernel
+# ---------------------------------------------------------------------------
+
+def _align_kernel(scal_ref, idx_ref, cnt_ref, X, F, M, Y0, FY, MY, XT, out,
+                  yscr, cc_scr, m_scr, bcde_scr, *, p: CvoParams, tn: int):
+    cap = X.shape[1]
+    n_t = cap // tn
+    nt2 = n_t * n_t
+    ell0 = scal_ref[0]
+    R0 = tuple(scal_ref[1 + i] for i in range(9))
+    T0 = tuple(scal_ref[10 + i] for i in range(3))
+    rmax = scal_ref[13]
+    margin = scal_ref[14]
+
+    y0r = (Y0[0, :], Y0[1, :], Y0[2, :])
+
+    def run_pair_passes(ell, cum):
+        """Flow + step passes over the current yscr contents; returns
+        (omega, v, nnz, B, C, D, E) as scalars."""
+        d2t, d2ct = pk._thresholds(ell, p)
+        force = cum > margin
+        # one compressed tile list per ell the anneal can produce (float
+        # equality is exact: the anneal assigns these very f32 constants;
+        # set 0 = ell0). Skipped tiles cost literally nothing: each strip
+        # loops only over its precomputed passing-tile indices (branch-free),
+        # and the force fallback (cum > margin) widens the loop to all tiles.
+        lvl_idx = jnp.int32(0)
+        for lvl, val in enumerate(p.ell_anneal_values):
+            lvl_idx = jnp.where(ell == jnp.float32(val), jnp.int32(lvl + 1),
+                                lvl_idx)
+        base = lvl_idx * nt2
+        base_s = lvl_idx * n_t
+        cc_scr[:] = jnp.zeros((16, 128), jnp.float32)
+
+        def strip_flow(s, _):
+            xs = X[:, pl.ds(s * tn, tn)]
+            fs = F[:, pl.ds(s * tn, tn)]
+            ms = M[:, pl.ds(s * tn, tn)]
+            xts = XT[pl.ds(s * tn, tn), :]
+            m_scr[:] = jnp.zeros((tn, 128), jnp.float32)
+            cnt = jnp.where(force, jnp.int32(n_t), cnt_ref[base_s + s])
+
+            def ytile(t, _):
+                tt = jnp.where(force, t, idx_ref[base + s * n_t + t])
+                off = tt * tn
+                ys = yscr[:, pl.ds(off, tn)]
+                fys = FY[:, pl.ds(off, tn)]
+                mys = MY[:, pl.ds(off, tn)]
+                gate, a, _ = pk._pair_tile(xs, fs, ms, ys, fys, mys,
+                                           ell, d2t, d2ct, p)
+                keep = gate & (a > p.sp_thres)
+                A = jnp.where(keep, a, 0.0)
+                mmt = jax.lax.dot_general(
+                    A, ys, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+                s2d = jnp.sum(A, axis=1, keepdims=True)
+                rn = jnp.sum(keep.astype(jnp.float32), axis=1,
+                             keepdims=True)
+                contrib = jnp.concatenate([mmt, s2d, rn], axis=1)
+                m_scr[:] = m_scr[:] + jnp.pad(contrib, ((0, 0), (0, 118))) \
+                    - s2d * xts
+                return 0
+
+            jax.lax.fori_loop(0, cnt, ytile, 0)
+            ones_row = jnp.ones((1, tn), jnp.float32)
+            X_aug = jnp.concatenate([xs, ones_row], axis=0)
+            Cc = jax.lax.dot_general(X_aug, m_scr[:], (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32,
+                                     precision=jax.lax.Precision.HIGHEST)
+            r = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 0)
+            cc_scr[:] = cc_scr[:] + jnp.where(
+                r < 9, jnp.pad(Cc, ((0, 7), (0, 0))), 0.0)
+            return 0
+
+        jax.lax.fori_loop(0, n_t, strip_flow, 0)
+
+        w0 = (cc_scr[1, 2] - cc_scr[2, 1]) / p.c
+        w1 = (cc_scr[2, 0] - cc_scr[0, 2]) / p.c
+        w2 = (cc_scr[0, 1] - cc_scr[1, 0]) / p.c
+        v0 = cc_scr[8, 0] / p.d
+        v1 = cc_scr[8, 1] / p.d
+        v2 = cc_scr[8, 2] / p.d
+        nnz = cc_scr[8, 9]
+
+        def omega_cross(a0, a1, a2):
+            return (w1 * a2 - w2 * a1, w2 * a0 - w0 * a2, w0 * a1 - w1 * a0)
+
+        def rowdot(u, w):
+            return u[0] * w[0] + u[1] * w[1] + u[2] * w[2]
+
+        tc = 1.0 / (2.0 * ell * ell)
+        bcde_scr[:] = jnp.zeros((8, 128), jnp.float32)
+
+        def strip_step(s, _):
+            xs = X[:, pl.ds(s * tn, tn)]
+            fs = F[:, pl.ds(s * tn, tn)]
+            ms = M[:, pl.ds(s * tn, tn)]
+
+            cnt = jnp.where(force, jnp.int32(n_t), cnt_ref[base_s + s])
+
+            def ytile(t, _):
+                tt = jnp.where(force, t, idx_ref[base + s * n_t + t])
+                off = tt * tn
+                ys = yscr[:, pl.ds(off, tn)]
+                fys = FY[:, pl.ds(off, tn)]
+                mys = MY[:, pl.ds(off, tn)]
+                gate, a, _ = pk._pair_tile(xs, fs, ms, ys, fys, mys,
+                                           ell, d2t, d2ct, p)
+                A = jnp.where(gate & (a > p.sp_thres), a, 0.0)
+                ya, yb, yc = ys[0, :], ys[1, :], ys[2, :]
+                xiz = omega_cross(ya, yb, yc)
+                xiz = (xiz[0] + v0, xiz[1] + v1, xiz[2] + v2)
+                xi2z = omega_cross(*xiz)
+                xi3z = omega_cross(*xi2z)
+                xi4z = omega_cross(*xi3z)
+                yv = (ya, yb, yc)
+                normxiz2 = rowdot(xiz, xiz)
+                xiz_dot_xi2z = -rowdot(xiz, xi2z)
+                epsil_const = rowdot(xi2z, xi2z) + 2.0 * rowdot(xiz, xi3z)
+                zero_rows = jnp.zeros((5, tn), jnp.float32)
+
+                def xd(u):
+                    U8 = jnp.concatenate(
+                        [u[0][None, :], u[1][None, :], u[2][None, :],
+                         zero_rows], axis=0)
+                    dd = jax.lax.dot_general(
+                        xs, U8, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+                    return dd - rowdot(u, yv)[None, :]
+
+                beta = -2.0 * tc * xd(xiz)
+                gamma = -tc * (normxiz2[None, :] + 2.0 * xd(xi2z))
+                delta = 2.0 * tc * (xiz_dot_xi2z[None, :] - xd(xi3z))
+                epsil = -tc * (epsil_const[None, :] + 2.0 * xd(xi4z))
+                dB = jnp.sum(A * beta)
+                dC = jnp.sum(A * (gamma + beta * beta * 0.5))
+                dD = jnp.sum(A * (delta + beta * gamma + beta ** 3 / 6.0))
+                dE = jnp.sum(A * (epsil + beta * delta
+                                  + 0.5 * beta * beta * gamma
+                                  + 0.5 * gamma * gamma
+                                  + beta ** 4 / 24.0))
+                bcde_scr[:] = bcde_scr[:] + pk._scalar_block(
+                    [dB, dC, dD, dE])
+                return 0
+
+            jax.lax.fori_loop(0, cnt, ytile, 0)
+            return 0
+
+        jax.lax.fori_loop(0, n_t, strip_step, 0)
+        return ((w0, w1, w2), (v0, v1, v2), nnz,
+                bcde_scr[0, 0], bcde_scr[1, 0], bcde_scr[2, 0],
+                bcde_scr[3, 0])
+
+    max_iter = jnp.int32(p.max_iter)
+
+    def body(carry):
+        k, R, T, ell, done, iters, nnz, cum = carry
+        # update_tf + transform_pcd: y = R^T (y0 - T)  (cvo.cpp:106-110, :336)
+        Tt = tuple(-(R[0 + i] * T[0] + R[3 + i] * T[1] + R[6 + i] * T[2])
+                   for i in range(3))
+        yt = _mattvec(R, y0r)
+        rows = [yt[0] + Tt[0], yt[1] + Tt[1], yt[2] + Tt[2]]
+        yscr[:] = jnp.concatenate(
+            [rows[0][None, :], rows[1][None, :], rows[2][None, :],
+             jnp.zeros((5, yscr.shape[1]), jnp.float32)], axis=0)
+
+        omega, v, nnz_k, B, C, D, E = run_pair_passes(ell, cum)
+        norm_w = _norm3(omega)
+        norm_v = _norm3(v)
+
+        step = _min_pos_root(4.0 * E, 3.0 * D, 2.0 * C, B,
+                             jnp.float32(p.min_step), jnp.float32(p.max_step))
+
+        stop1 = (norm_w < p.eps) & (norm_v < p.eps)
+
+        dR, dT = _exp_sek3_scalar(omega, v, step)
+        T_new = tuple(jnp.where(stop1, T[i], _matvec(R, dT)[i] + T[i])
+                      for i in range(3))
+        R_new_full = _matmul(R, dR)
+        R_new = tuple(jnp.where(stop1, R[i], R_new_full[i]) for i in range(9))
+        stop2 = (~stop1) & (_dist_se3_scalar(dR, dT) < p.eps_2)
+
+        done_new = stop1 | stop2
+        iters_new = jnp.where(done_new, k, iters)
+        ell_ann = jnp.where(k > p.ell_anneal_iters[0],
+                            jnp.float32(p.ell_anneal_values[0]), ell)
+        ell_ann = jnp.where(k > p.ell_anneal_iters[1],
+                            jnp.float32(p.ell_anneal_values[1]), ell_ann)
+        ell_ann = jnp.where(k > p.ell_anneal_iters[2],
+                            jnp.float32(p.ell_anneal_values[2]), ell_ann)
+        ell_new = jnp.where(done_new, ell, ell_ann)
+        # conservative accumulated-motion bound (disables skipping when the
+        # correction outruns the precomputed flags' margin)
+        cum_new = cum + jnp.where(
+            stop1, 0.0,
+            1.5 * step * (norm_w * (rmax + margin) + norm_v))
+        return (k + 1, R_new, T_new, ell_new, done_new, iters_new,
+                nnz_k, cum_new)
+
+    def cond(carry):
+        k, _, _, _, done, _, _, _ = carry
+        return (k < max_iter) & (~done)
+
+    init = (jnp.int32(0), R0, T0, ell0, jnp.bool_(False), max_iter,
+            jnp.float32(0.0), jnp.float32(0.0))
+    k, R, T, ell, done, iters, nnz, cum = jax.lax.while_loop(cond, body, init)
+
+    r = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    o = jnp.zeros((8, 128), jnp.float32)
+    for i in range(3):
+        for j in range(3):
+            o = o + jnp.where((r == i) & (c == j), R[3 * i + j], 0.0)
+    for j in range(3):
+        o = o + jnp.where((r == 3) & (c == j), T[j], 0.0)
+    o = o + jnp.where((r == 4) & (c == 0), ell, 0.0) \
+        + jnp.where((r == 4) & (c == 1), iters.astype(jnp.float32), 0.0) \
+        + jnp.where((r == 4) & (c == 2), nnz, 0.0)
+    out[:] = o
+
+
+def _skip_flags_margin(x, mx, y, my, ell_upper, tile, margin, p: CvoParams):
+    """Like pk._skip_flags but with the gate radius inflated by `margin`."""
+    xlo, xhi = pk._tile_bounds(x, mx, tile)
+    ylo, yhi = pk._tile_bounds(y, my, tile)
+    d2t = -2.0 * ell_upper * ell_upper * jnp.log(
+        p.sp_thres / (p.sigma * p.sigma))
+    radius = jnp.sqrt(d2t) + margin
+    gap = jnp.maximum(jnp.maximum(xlo[:, None, :] - yhi[None, :, :],
+                                  ylo[None, :, :] - xhi[:, None, :]), 0.0)
+    gap = jnp.minimum(gap, 1e9)
+    mind2 = jnp.sum(gap * gap, axis=-1)
+    return (mind2 < radius * radius).astype(jnp.int32).reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("p",))
+def align_fused(fixed, moving, R0, T0, ell0, p: CvoParams):
+    """Single-launch CVO alignment. Same contract as engine.align; returns
+    the same AlignResult (imported lazily to avoid a module cycle)."""
+    from . import engine
+
+    x, fx, mx = fixed.positions, fixed.features, fixed.mask
+    y, fy, my = moving.positions, moving.features, moving.mask
+    cap = x.shape[0]
+    tn = pk._tn(cap, pref=128)
+    n_t = cap // tn
+    X, F, M = pk._pack(x, fx, mx)
+    Y0, FY, MY = pk._pack(y, fy, my)
+    XT = jnp.zeros((cap, 128), jnp.float32).at[:, 0:3].set(x)
+
+    R0 = jnp.asarray(R0, jnp.float32)
+    T0 = jnp.asarray(T0, jnp.float32)
+    ell0 = jnp.asarray(ell0, jnp.float32)
+    # warm-start positions (what iteration 0 sees)
+    Tt0 = -(R0.T @ T0)
+    y_init = y @ R0 + Tt0[None, :]
+    margin = jnp.float32(p.skip_margin)
+    ells = [ell0] + [jnp.float32(v) for v in p.ell_anneal_values]
+    flags = jnp.stack([
+        _skip_flags_margin(x, mx, y_init, my, e, tn, margin, p)
+        for e in ells]).reshape(len(ells), n_t, n_t)
+    # compressed per-strip tile lists: passing tile indices first (stable),
+    # plus per-strip pass counts — the kernel loops over exactly these
+    idxs = jnp.argsort(1 - flags, axis=-1, stable=True).astype(jnp.int32)
+    counts = jnp.sum(flags, axis=-1, dtype=jnp.int32)
+    rmax = jnp.max(jnp.where(my, jnp.linalg.norm(y_init, axis=-1), 0.0))
+
+    scal = jnp.concatenate([ell0.reshape(1), R0.reshape(9), T0.reshape(3),
+                            rmax.reshape(1), margin.reshape(1)])
+    full = lambda i, s1, s2, s3: (0, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(1,),
+        in_specs=[pl.BlockSpec((8, cap), full, memory_space=pltpu.VMEM)] * 2
+        + [pl.BlockSpec((1, cap), full, memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec((8, cap), full, memory_space=pltpu.VMEM)] * 2
+        + [pl.BlockSpec((1, cap), full, memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec((cap, 128), full, memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((8, 128), full, memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((8, cap), jnp.float32),
+                        pltpu.VMEM((16, 128), jnp.float32),
+                        pltpu.VMEM((tn, 128), jnp.float32),
+                        pltpu.VMEM((8, 128), jnp.float32)],
+    )
+    S = pl.pallas_call(
+        functools.partial(_align_kernel, p=p, tn=tn),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+    )(scal, idxs.reshape(-1), counts.reshape(-1), X, F, M, Y0, FY, MY, XT)
+    R = S[0:3, 0:3]
+    T = S[3, 0:3]
+    ell = S[4, 0]
+    iters = S[4, 1].astype(jnp.int32)
+    nnz = S[4, 2].astype(jnp.int32)
+    transform = jnp.zeros((4, 4), jnp.float32).at[:3, :3].set(R.T) \
+        .at[:3, 3].set(-(R.T @ T)).at[3, 3].set(1.0)
+    return engine.AlignResult(R, T, transform, ell, iters, nnz)

@@ -230,3 +230,82 @@ def test_morton_order_properties():
     sorted_d = np.linalg.norm(np.diff(pts[order], axis=0), axis=1).mean()
     rand_d = np.linalg.norm(np.diff(pts, axis=0), axis=1).mean()
     assert sorted_d < 0.5 * rand_d
+
+
+def test_align_megakernel_parity():
+    """Whole-align megakernel (one pallas_call) vs the XLA while_loop path:
+    same iteration count, same nnz, same ell carry-out, transform to f32
+    tolerance — including a warm-started second call."""
+    from cvo_slam_tpu.cvo import engine
+    from cvo_slam_tpu.ops import se3
+    from cvo_slam_tpu.frontend.pointcloud import _morton_order
+
+    cap = 512
+    rng = np.random.default_rng(3)
+    n = 480
+    z = rng.uniform(0.8, 3.0, n)
+    xy = rng.uniform(-0.6, 0.6, (n, 2)) * z[:, None]
+    pos = np.concatenate([xy, z[:, None]], 1).astype(np.float32)
+    pos = pos[_morton_order(pos)]
+    x = np.zeros((cap, 3), np.float32)
+    x[:n] = pos
+    f = np.zeros((cap, 5), np.float32)
+    f[:n, :3] = rng.uniform(0, 255, (n, 3))
+    m = np.zeros(cap, bool)
+    m[:n] = True
+    twist = np.array([0.01, -0.008, 0.005, 0.02, 0.01, -0.015], np.float32)
+    T_gt = np.asarray(se3.exp_se3(jnp.asarray(twist)))
+    Ti = np.linalg.inv(T_gt)
+    y = x.copy()
+    y[:n] = (pos @ Ti[:3, :3].T + Ti[:3, 3]).astype(np.float32)
+
+    fixed = engine.PointCloud(jnp.asarray(x), jnp.asarray(f), jnp.asarray(m))
+    moving = engine.PointCloud(jnp.asarray(y), jnp.asarray(f), jnp.asarray(m))
+    R0, T0 = jnp.eye(3), jnp.zeros(3)
+    e0 = jnp.float32(P.ell_init)
+
+    ref = engine.align(fixed, moving, R0, T0, e0, P, "xla")
+    with pltpu.force_tpu_interpret_mode():
+        got = engine.align(fixed, moving, R0, T0, e0, P, "pallas")
+    assert int(got.iters) == int(ref.iters)
+    assert int(got.nnz) == int(ref.nnz)
+    assert float(got.ell) == float(ref.ell)
+    err = np.linalg.inv(np.asarray(got.transform)) @ np.asarray(ref.transform)
+    assert np.linalg.norm(err[:3, 3]) < 1e-5
+    assert np.arccos(np.clip((np.trace(err[:3, :3]) - 1) / 2, -1, 1)) < 1e-5
+    # recovers the ground-truth motion
+    eg = np.linalg.inv(np.asarray(got.transform)) @ T_gt
+    assert np.linalg.norm(eg[:3, 3]) < 2e-3
+
+    # warm-started second call (nontrivial R0/T0 + ell carry-over)
+    ref2 = engine.align(fixed, moving, got.R, got.T, got.ell, P, "xla")
+    with pltpu.force_tpu_interpret_mode():
+        got2 = engine.align(fixed, moving, got.R, got.T, got.ell, P, "pallas")
+    assert int(got2.iters) == int(ref2.iters)
+    np.testing.assert_allclose(np.asarray(got2.transform),
+                               np.asarray(ref2.transform), atol=1e-5)
+
+
+def test_megakernel_scalar_helpers():
+    """The in-kernel acos/cbrt replacements and the scalar cubic solver match
+    their XLA counterparts (plain traced-scalar evaluation outside a kernel)."""
+    import jax
+    from cvo_slam_tpu.cvo import pallas_align as pa
+    from cvo_slam_tpu.ops import cubic
+
+    xs = np.linspace(-1, 1, 41)
+    got = jax.vmap(pa._acos)(jnp.asarray(xs, jnp.float32))
+    np.testing.assert_allclose(np.asarray(got), np.arccos(xs), atol=2e-5)
+    vs = np.array([-8.0, -1e-3, 0.0, 1e-3, 2.7, 1e4], np.float32)
+    got = jax.vmap(pa._cbrt)(jnp.asarray(vs))
+    np.testing.assert_allclose(np.asarray(got), np.cbrt(vs), rtol=1e-5,
+                               atol=1e-7)
+    rng = np.random.default_rng(0)
+    for _ in range(50):
+        a, b, c, d = rng.normal(0, 1, 4).astype(np.float32)
+        ref = cubic.min_positive_root_or(a, b, c, d, 0.2, 0.8)
+        got = pa._min_pos_root(jnp.float32(a), jnp.float32(b), jnp.float32(c),
+                               jnp.float32(d), jnp.float32(0.2),
+                               jnp.float32(0.8))
+        np.testing.assert_allclose(float(got), float(ref), rtol=2e-4,
+                                   atol=2e-4)
