@@ -75,9 +75,10 @@ def run(folder: str, association: str, cam_name, cfg: SlamConfig,
     traj_path = os.path.join(folder, "Tracking_trajectory.txt")
     metrics_path = os.path.join(folder, "metrics.jsonl")
     t_start = time.perf_counter()
+    from ..data.prefetch import FramePrefetcher
+    frames = FramePrefetcher(folder, records, cam, cfg.frontend)
     with open(traj_path, "w") as traj, open(metrics_path, "w") as mf:
-        for i, rec in enumerate(records):
-            image = tum.load_image(folder, rec)
+        for i, image in enumerate(frames):
             if i == len(records) - 1:
                 tracker.force_keyframe()
             t0 = time.perf_counter()

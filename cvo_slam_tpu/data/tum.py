@@ -31,6 +31,9 @@ class ImagePair:
     bgr: np.ndarray      # (H,W,3) uint8, BGR channel order (cv::imread)
     gray: np.ndarray     # (H,W) uint8 via COLOR_RGB2GRAY on BGR (quirk kept)
     depth: np.ndarray    # (H,W) uint16 raw
+    # optional precomputed frontend output (data.prefetch pipelines the host
+    # frontend with device compute); LocalTracker uses it when present
+    precomputed_cloud: object = None
 
 
 def load_association(path: str) -> List[FrameRecord]:

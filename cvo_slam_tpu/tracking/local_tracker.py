@@ -51,8 +51,10 @@ class LocalTracker:
 
     # -- frontend: one cloud per frame, shared by both cvo instances
     def _make_cloud(self, image: ImagePair):
-        pc = create_pointcloud(image.bgr, image.gray, image.depth,
-                               self.cam, self.cfg.frontend)
+        pc = image.precomputed_cloud   # filled by data.prefetch (pipelined)
+        if pc is None:
+            pc = create_pointcloud(image.bgr, image.gray, image.depth,
+                                   self.cam, self.cfg.frontend)
         return PointCloud.from_host(pc), pc.selected_pixels[:pc.count].copy()
 
     def _make_keyframe(self, image: ImagePair, pose: np.ndarray,
