@@ -20,9 +20,14 @@ from ..cvo import engine
 
 
 def batched_align(fixed: engine.PointCloud, moving: engine.PointCloud,
-                  R0, T0, ell0, p: CvoParams):
+                  R0, T0, ell0, p: CvoParams, backend: str = "auto"):
     """vmap of engine.align over a leading batch axis."""
-    fn = jax.vmap(lambda f, m, R, T, e: engine.align(f, m, R, T, e, p))
+    if backend == "auto":
+        backend = engine.default_backend()
+    from .multi_sequence import _batch_backend
+    backend = _batch_backend(backend)
+    fn = jax.vmap(lambda f, m, R, T, e: engine.align(f, m, R, T, e, p,
+                                                     backend))
     return fn(fixed, moving, R0, T0, ell0)
 
 

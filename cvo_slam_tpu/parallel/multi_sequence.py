@@ -29,8 +29,16 @@ from ..data.tum import ImagePair
 from ..frontend.pointcloud import create_pointcloud
 
 
+def _batch_backend(backend: str) -> str:
+    """Under vmap, the per-iteration pallas path is unusable (a pallas_call
+    inside lax.while_loop has ordered IO effects vmap rejects); the
+    whole-align megakernel batches cleanly (vmap prepends a grid dim)."""
+    return "pallas" if backend.startswith("pallas") else backend
+
+
 @partial(jax.jit, static_argnames=("p", "backend"))
 def _batched_align(fixed, moving, R0, T0, ell0, p, backend):
+    backend = _batch_backend(backend)
     return jax.vmap(lambda f, m, R, T, e:
                     engine.align(f, m, R, T, e, p, backend))(
         fixed, moving, R0, T0, ell0)
