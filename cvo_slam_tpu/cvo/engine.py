@@ -48,6 +48,16 @@ def default_backend() -> str:
     return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
+@jax.jit
+def _stage(pos, feat, mask):
+    """Trivial device pass-through. Host-fresh transfer buffers fed straight
+    into large Pallas programs intermittently trip the axon tunnel runtime
+    ('TPU backend error (InvalidArgument)', see PERF_NOTES.md); routing
+    uploads through one tiny program yields ordinary program-output buffers
+    and has been reliable. No-op semantically, negligible cost."""
+    return pos + 0.0, feat + 0.0, mask & True
+
+
 class PointCloud(NamedTuple):
     """Device-side fixed-capacity point cloud."""
     positions: jnp.ndarray  # (CAP, 3) f32
@@ -56,8 +66,9 @@ class PointCloud(NamedTuple):
 
     @staticmethod
     def from_host(pc: PointCloudHost) -> "PointCloud":
-        return PointCloud(jnp.asarray(pc.positions), jnp.asarray(pc.features),
-                          jnp.asarray(pc.mask))
+        return PointCloud(*_stage(jnp.asarray(pc.positions),
+                                  jnp.asarray(pc.features),
+                                  jnp.asarray(pc.mask)))
 
 
 class AlignResult(NamedTuple):
