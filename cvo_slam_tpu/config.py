@@ -38,6 +38,10 @@ class CameraConfig:
     orb_ini_th_fast: int = 20
     orb_min_th_fast: int = 7
     orb_keypoint_distance: float = 0.0
+    # "opencv": one C++ cv2.ORB call (fast, learned rBRIEF pattern);
+    # "reference": the ORB-SLAM2-parity numpy extractor (per-level grid FAST
+    # + quadtree distribution + own BRIEF pattern)
+    orb_backend: str = "opencv"
 
 
 # Per-dataset presets (values from reference config/*.yaml; the ETH3D split

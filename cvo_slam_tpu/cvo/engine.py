@@ -58,6 +58,27 @@ def _stage(pos, feat, mask):
     return pos + 0.0, feat + 0.0, mask & True
 
 
+@jax.jit
+def _fence_op(i):
+    return i + 1
+
+
+_fence_i = 0
+
+
+def _fence():
+    """Enqueue one trivial program after a megakernel dispatch.
+
+    The axon tunnel runtime errors ('TPU backend error (InvalidArgument)')
+    when the whole-align megakernel executes twice back-to-back; any
+    interleaved dispatch (however small) prevents it (measured: mega x5 with
+    a tiny interleave all pass, mega x2 adjacent always fails). ~2 ms of
+    dispatch overhead per alignment; a no-op semantically."""
+    global _fence_i
+    _fence_i += 1
+    _fence_op(jnp.int32(_fence_i % 1024))
+
+
 class PointCloud(NamedTuple):
     """Device-side fixed-capacity point cloud."""
     positions: jnp.ndarray  # (CAP, 3) f32
@@ -90,7 +111,9 @@ def align(fixed: PointCloud, moving: PointCloud, R0, T0, ell0,
     iteration with the loop in XLA — the fallback/batched path)."""
     if backend == "pallas":
         from . import pallas_align
-        return pallas_align.align_fused(fixed, moving, R0, T0, ell0, p)
+        res = pallas_align.align_fused(fixed, moving, R0, T0, ell0, p)
+        _fence()
+        return res
 
     x, fx, mx = fixed.positions, fixed.features, fixed.mask
     y0, fy, my = moving.positions, moving.features, moving.mask
@@ -320,12 +343,16 @@ class Cvo:
     def _align(self):
         res = align(self.fixed, self.moving, self.R, self.T,
                     np.float32(self.ell), self.params, self.backend)
-        self.R = np.asarray(res.R)
-        self.T = np.asarray(res.T)
-        self.transform = np.asarray(res.transform, np.float64)
-        self.ell = float(res.ell)
-        self.iters = int(res.iters)
-        self.nnz = int(res.nnz)
+        # one batched host transfer for all six outputs (separate np.asarray
+        # calls are six blocking readbacks — ~170 ms each through a degraded
+        # tunnel, see PERF_NOTES.md)
+        R, T, transform, ell, iters, nnz = jax.device_get(tuple(res))
+        self.R = R
+        self.T = T
+        self.transform = np.asarray(transform, np.float64)
+        self.ell = float(ell)
+        self.iters = int(iters)
+        self.nnz = int(nnz)
         return self.transform
 
     def match_odometry(self, cloud: PointCloud, pixels: np.ndarray):

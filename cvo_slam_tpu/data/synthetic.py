@@ -17,11 +17,16 @@ from ..ops import se3
 import jax.numpy as jnp
 
 
-def _base_scene(cam: CameraConfig, rng):
+def _base_scene(cam: CameraConfig, rng, texture_strength: float = 1.0):
+    """texture_strength < 1 compresses contrast toward mid-gray (the paper's
+    texture-less challenge mode, reference README.md:3)."""
     H, W = cam.height, cam.width
     base = rng.uniform(0, 255, (H // 8, W // 8)).astype(np.float32)
     tex = cv2.resize(base, (W, H), interpolation=cv2.INTER_CUBIC)
-    bgr = np.stack([tex, np.roll(tex, 3, 0), np.roll(tex, 5, 1)],
+    tex = 127.5 + texture_strength * (tex - 127.5)
+    bgr = np.stack([tex,
+                    127.5 + texture_strength * (np.roll(tex, 3, 0) - 127.5),
+                    127.5 + texture_strength * (np.roll(tex, 5, 1) - 127.5)],
                    -1).clip(0, 255).astype(np.uint8)
     z = (2.0 + 0.5 * np.sin(np.linspace(0, 3, W))[None, :]
          + 0.3 * np.cos(np.linspace(0, 2, H))[:, None])
@@ -29,17 +34,21 @@ def _base_scene(cam: CameraConfig, rng):
 
 
 def make_sequence(folder: str, cam: CameraConfig, n_frames: int = 12,
-                  seed: int = 7, step_twist=None, trajectory=None):
+                  seed: int = 7, step_twist=None, trajectory=None,
+                  texture_strength: float = 1.0, exposure_ramp: float = 0.0):
     """Create a synthetic sequence under `folder`. Returns the ground-truth
     cam->world poses (N,4,4).
 
     trajectory: optional explicit list of per-frame world->cam transforms
     G_k (p_k = G_k p_0); overrides the constant step_twist walk — lets tests
-    build loops that revisit the start."""
+    build loops that revisit the start.
+    texture_strength: contrast multiplier (<1 = texture-less challenge mode).
+    exposure_ramp: fractional brightness gain reached at the last frame
+    (e.g. 0.6 = +60% linear over-exposure ramp, the paper's challenge mode)."""
     os.makedirs(os.path.join(folder, "rgb"), exist_ok=True)
     os.makedirs(os.path.join(folder, "depth"), exist_ok=True)
     rng = np.random.default_rng(seed)
-    bgr0, z0 = _base_scene(cam, rng)
+    bgr0, z0 = _base_scene(cam, rng, texture_strength)
     H, W = cam.height, cam.width
     fx, fy, cx, cy = cam.fx, cam.fy, cam.cx, cam.cy
 
@@ -76,6 +85,10 @@ def make_sequence(folder: str, cam: CameraConfig, n_frames: int = 12,
             holes = depth == 0
             bgr[holes] = bgr0[holes]
             depth[holes] = (z0[holes] * cam.depth_factor).astype(np.uint16)
+        if exposure_ramp != 0.0 and n_frames > 1:
+            gain = 1.0 + exposure_ramp * (k / (n_frames - 1))
+            bgr = np.clip(bgr.astype(np.float32) * gain, 0, 255
+                          ).astype(np.uint8)
         rgb_rel = f"rgb/{ts}.png"
         dep_rel = f"depth/{ts}.png"
         cv2.imwrite(os.path.join(folder, rgb_rel), bgr)

@@ -1,0 +1,190 @@
+"""Quality-regression suite: ATE/RPE on challenging synthetic sequences.
+
+The reference's entire verification story is end-to-end: run TUM/ETH3D
+sequences and score ATE with the external TUM tooling
+(/root/reference/README.md:63-85). The datasets are not available in this
+environment, so this suite generates long synthetic RGB-D sequences in the
+paper's challenge modes (rapid motion, texture-less scenes, over-exposure —
+README.md:3) plus a genuine loop circuit, runs the FULL pipeline
+(tracking + loop closure + windowed/final BA), and records ATE/RPE for both
+output trajectories (Tracking_trajectory.txt / SLAM_trajectory.txt, the
+files written by keyframe_tracker.cpp:233-317 in the reference).
+
+CLI:
+  python -m cvo_slam_tpu.eval.suite --out /tmp/cvo_eval [--scale 0.5]
+      [--seq loop_120 fast_rotation_100 ...] [--results-md RESULTS.md]
+
+Writes <out>/results.json and optionally a markdown report.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+
+import numpy as np
+
+from ..config import CAMERA_PRESETS, CameraConfig, SlamConfig
+from ..data.synthetic import make_sequence
+from . import ate as ate_mod
+
+
+def scaled_camera(cam: CameraConfig, s: float) -> CameraConfig:
+    """Scale resolution + intrinsics together (keeps geometry identical)."""
+    return dataclasses.replace(
+        cam, fx=cam.fx * s, fy=cam.fy * s, cx=cam.cx * s, cy=cam.cy * s,
+        width=int(round(cam.width * s)), height=int(round(cam.height * s)))
+
+
+def loop_trajectory(n: int, radius: float = 0.22, lift: float = 0.10,
+                    yaw_amp: float = 0.12):
+    """Closed circuit: world->cam transforms G_k with G_0 = G_n = I.
+
+    The camera strafes around a small circle with an oscillating yaw, ending
+    exactly where it started — a genuine revisit for loop-closure tests."""
+    Gs = []
+    for k in range(n):
+        th = 2.0 * np.pi * k / n
+        t = np.array([radius * np.sin(th), lift * (1 - np.cos(th)), 0.0])
+        yaw = yaw_amp * np.sin(th)
+        c, s = np.cos(yaw), np.sin(yaw)
+        R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        G = np.eye(4)
+        G[:3, :3] = R
+        G[:3, 3] = t
+        Gs.append(G)
+    return Gs
+
+
+# sequence catalog: name -> (n_frames, make_sequence kwargs builder)
+def _catalog():
+    return {
+        # genuine loop circuit (revisit of frame 0 at the end)
+        "loop_120": dict(n_frames=120,
+                         kwargs=lambda n: dict(trajectory=loop_trajectory(n))),
+        # rapid motion: ~1.3 deg + 18 mm per frame (vs ~0.8 deg / 13 mm default)
+        "fast_rotation_100": dict(
+            n_frames=100,
+            kwargs=lambda n: dict(step_twist=np.array(
+                [0.016, 0.012, -0.008, 0.012, -0.008, 0.010]))),
+        # texture-less: contrast compressed to 25%
+        "low_texture_100": dict(
+            n_frames=100,
+            kwargs=lambda n: dict(texture_strength=0.25)),
+        # over-exposure: +60% linear brightness ramp over the sequence
+        "exposure_ramp_100": dict(
+            n_frames=100,
+            kwargs=lambda n: dict(exposure_ramp=0.6)),
+    }
+
+
+def run_sequence(name: str, folder: str, cam: CameraConfig, cfg: SlamConfig,
+                 n_frames: int, gen_kwargs: dict, verbose: bool = False):
+    """Generate + run full SLAM + score. Returns a result dict."""
+    from ..app.run_slam import run as run_slam
+
+    make_sequence(folder, cam, n_frames=n_frames, **gen_kwargs)
+    t0 = time.perf_counter()
+    stats = run_slam(folder, "associate.txt", cam, cfg, verbose=verbose)
+    wall = time.perf_counter() - t0
+
+    gt = ate_mod.load_tum_trajectory(os.path.join(folder, "groundtruth.txt"))
+    out = dict(sequence=name, frames=n_frames, wall_s=round(wall, 2),
+               fps=round(stats["fps"], 3))
+    for label, fname in (("tracking", "Tracking_trajectory.txt"),
+                         ("slam", "SLAM_trajectory.txt")):
+        path = os.path.join(folder, fname)
+        if not os.path.exists(path):
+            continue
+        est = ate_mod.load_tum_trajectory(path)
+        scores = ate_mod.ate_rmse(gt, est)
+        scores.update(ate_mod.rpe(gt, est))
+        out[label] = {k: (round(v, 6) if isinstance(v, float) else v)
+                      for k, v in scores.items()}
+    # loop-closure / backend counters from the metrics stream
+    lc_num = 0
+    with open(os.path.join(folder, "metrics.jsonl")) as f:
+        for line in f:
+            rec = json.loads(line)
+            lc_num = max(lc_num, rec.get("lc_num", 0))
+    out["loop_closures"] = lc_num
+    return out
+
+
+def run_suite(out_dir: str, scale: float = 1.0, camera: str = "TUM1",
+              sequences=None, cfg: SlamConfig = None, verbose: bool = False):
+    cam = scaled_camera(CAMERA_PRESETS[camera], scale) if scale != 1.0 \
+        else CAMERA_PRESETS[camera]
+    cfg = cfg or SlamConfig.default_shipped()
+    cat = _catalog()
+    names = sequences or list(cat)
+    results = []
+    for name in names:
+        spec = cat[name]
+        n = spec["n_frames"]
+        folder = os.path.join(out_dir, name)
+        res = run_sequence(name, folder, cam, cfg, n, spec["kwargs"](n),
+                           verbose)
+        results.append(res)
+        print(json.dumps(res), flush=True)
+    payload = dict(scale=scale, camera=camera,
+                   resolution=[cam.width, cam.height],
+                   config="shipped", results=results)
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "results.json"), "w") as f:
+        json.dump(payload, f, indent=1)
+    return payload
+
+
+def render_markdown(payload: dict) -> str:
+    lines = [
+        "# RESULTS — end-to-end quality regression (synthetic challenge suite)",
+        "",
+        f"Full pipeline (tracking + loop closure + windowed/final BA), shipped "
+        f"config, camera {payload['camera']} @ "
+        f"{payload['resolution'][0]}x{payload['resolution'][1]}.",
+        "",
+        "| sequence | frames | ATE RMSE (track) | ATE RMSE (SLAM) | "
+        "RPE trans (SLAM) | RPE rot deg (SLAM) | loops | fps |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for r in payload["results"]:
+        tr = r.get("tracking", {})
+        sl = r.get("slam", {})
+        lines.append(
+            f"| {r['sequence']} | {r['frames']} "
+            f"| {tr.get('ate_rmse', float('nan')):.4f} "
+            f"| {sl.get('ate_rmse', float('nan')):.4f} "
+            f"| {sl.get('rpe_trans_rmse', float('nan')):.4f} "
+            f"| {sl.get('rpe_rot_rmse_deg', float('nan')):.3f} "
+            f"| {r['loop_closures']} | {r['fps']:.2f} |")
+    lines.append("")
+    return "\n".join(lines)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--scale", type=float, default=1.0)
+    ap.add_argument("--camera", default="TUM1", choices=sorted(CAMERA_PRESETS))
+    ap.add_argument("--seq", nargs="*", default=None,
+                    help="subset of sequences (default: all)")
+    ap.add_argument("--results-md", default="",
+                    help="also write a markdown report here")
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args(argv)
+    payload = run_suite(args.out, args.scale, args.camera, args.seq,
+                        verbose=args.verbose)
+    if args.results_md:
+        with open(args.results_md, "w") as f:
+            f.write(render_markdown(payload))
+    print(json.dumps({name: r.get("slam", r.get("tracking", {})).get(
+        "ate_rmse") for name, r in
+        ((x["sequence"], x) for x in payload["results"])}))
+
+
+if __name__ == "__main__":
+    main()

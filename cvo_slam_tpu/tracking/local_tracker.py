@@ -66,6 +66,9 @@ class LocalTracker:
         self.next_kf_id += 1
         if self.keyframe_feature_hook is not None:
             self.keyframe_feature_hook(kf)   # ORB + BoW (local_tracker.cpp:292-300)
+            ms = getattr(self.keyframe_feature_hook, "last_ms", None)
+            if ms is not None:
+                self.metrics["kf_feature_ms"] = ms
         return kf
 
     # -- initNewLocalMap, public overload (local_tracker.cpp:223-284)
