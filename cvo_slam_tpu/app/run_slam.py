@@ -25,7 +25,7 @@ from ..data import tum
 from ..tracking.keyframe_tracker import KeyframeTracker
 
 
-def build_tracker(cam, cfg, verbose=False):
+def build_tracker(cam, cfg, verbose=False, vocabulary_path=""):
     if cfg.OnlyTracking:
         return KeyframeTracker(cam, cfg, graph=None, verbose=verbose)
     from ..backend.keyframe_graph import KeyframeGraph
@@ -36,11 +36,19 @@ def build_tracker(cam, cfg, verbose=False):
         from ..features.orb import keyframe_feature_hook
         from ..backend.loop_closure import make_loop_detector
         from ..backend.ba import make_windowed_ba
-        feature_hook = keyframe_feature_hook(cam, cfg)
-        loop_detector = make_loop_detector(cam, cfg)
+        feature_hook = keyframe_feature_hook(cam, cfg, vocabulary_path)
+        loop_detector = make_loop_detector(
+            cam, cfg, vocabulary=getattr(feature_hook, "voc", None))
         windowed_ba = make_windowed_ba(cam, cfg)
-    except ImportError:
-        pass   # sparse-feature layer not present: pose-graph backend only
+    except ImportError as exc:
+        # sparse-feature layer unavailable: degrade to pose-graph-only
+        # backend, but never silently (a typo inside features/ must not turn
+        # every run into no-loop-closure mode without a trace)
+        import warnings
+        warnings.warn(
+            f"sparse-feature layer unavailable ({exc!r}); running with the "
+            "pose-graph backend only (no ORB, no loop closure, no BA)",
+            RuntimeWarning, stacklevel=2)
     graph = KeyframeGraph(cam, cfg, loop_detector=loop_detector,
                           windowed_ba=windowed_ba,
                           log=print if verbose else None)
@@ -55,7 +63,8 @@ def build_tracker(cam, cfg, verbose=False):
 
 
 def run(folder: str, association: str, cam_name, cfg: SlamConfig,
-        max_frames: int = 0, verbose: bool = False, profile_dir: str = ""):
+        max_frames: int = 0, verbose: bool = False, profile_dir: str = "",
+        vocabulary_path: str = ""):
     """cam_name: a preset key (e.g. "TUM1") or a CameraConfig instance."""
     from ..config import CameraConfig
     cam = (cam_name if isinstance(cam_name, CameraConfig)
@@ -64,7 +73,7 @@ def run(folder: str, association: str, cam_name, cfg: SlamConfig,
     if max_frames:
         records = records[:max_frames]
 
-    tracker = build_tracker(cam, cfg, verbose)
+    tracker = build_tracker(cam, cfg, verbose, vocabulary_path)
     tracker.init()
 
     if profile_dir:
@@ -118,6 +127,9 @@ def main(argv=None):
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--profile-dir", default="",
                     help="write a JAX profiler trace here (xprof format)")
+    ap.add_argument("--vocabulary", default="",
+                    help="DBoW2 ORBvoc.txt path (default: online-grown "
+                         "vocabulary, see features.bow.GrowingVocabulary)")
     args = ap.parse_args(argv)
 
     cfg = (parse_config_txt(args.config) if args.config
@@ -125,7 +137,8 @@ def main(argv=None):
     if args.only_tracking:
         cfg = cfg.replace(OnlyTracking=True)
     stats = run(args.folder, args.association, args.camera, cfg,
-                args.max_frames, args.verbose, args.profile_dir)
+                args.max_frames, args.verbose, args.profile_dir,
+                args.vocabulary)
     print(json.dumps(stats))
 
 

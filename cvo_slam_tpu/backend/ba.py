@@ -341,14 +341,21 @@ def make_windowed_ba(cam: CameraConfig, cfg: SlamConfig):
             args[13] = jnp.asarray(p_mask)
             return removed
 
-        # stage 1: 5 iterations, prune, then the full run + second prune
+        # stage 1: 5 iterations, prune, then the full run + second prune.
+        # Both prunes are gated on OptimizationRemoveOutliers; the reference
+        # parses the flag (run_SLAM.cpp:171-173) but its active pruning code
+        # (keyframe_graph.cpp:1127-1219) runs unconditionally — we honor the
+        # knob as its name/parse intent requires (default True = reference
+        # behavior).
         E1, L1 = optimize_ba(*args[:2], *args[2:], Kj, 5, delta)
         args[0], args[1] = E1, L1
-        prune(E1, L1)
+        if cfg.OptimizationRemoveOutliers:
+            prune(E1, L1)
         E2, L2 = optimize_ba(*args[:2], *args[2:], Kj,
                              cfg.OptimizationIterations, delta)
         args[0], args[1] = E2, L2
-        prune(E2, L2)
+        if cfg.OptimizationRemoveOutliers:
+            prune(E2, L2)
 
         E2 = np.asarray(E2, np.float64)
         L2 = np.asarray(L2, np.float64)

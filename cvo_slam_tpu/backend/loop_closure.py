@@ -27,7 +27,7 @@ from ..features.matcher import Matcher
 from ..tracking.types import Keyframe, TrackingResult
 
 
-def make_loop_detector(cam: CameraConfig, cfg: SlamConfig):
+def make_loop_detector(cam: CameraConfig, cfg: SlamConfig, vocabulary=None):
     matcher = Matcher(cam, cfg, scale_factor=cam.orb_scale_factor,
                       n_levels=cam.orb_n_levels)
 
@@ -43,6 +43,17 @@ def make_loop_detector(cam: CameraConfig, cfg: SlamConfig):
         farthest = reference.id
         if len(keyframes) <= 2 or reference.bow_vec is None:
             return 0, farthest
+
+        # refresh BoW vectors built under an older vocabulary (the growing
+        # vocabulary retrains as the map expands; see features.bow)
+        if vocabulary is not None:
+            ver = getattr(vocabulary, "version", 0)
+            for kf in keyframes:
+                if kf.descriptors is not None and len(kf.descriptors) \
+                        and getattr(kf, "bow_version", 0) != ver:
+                    kf.bow_vec, kf.feat_vec = vocabulary.transform(
+                        kf.descriptors, levelsup=4)
+                    kf.bow_version = ver
 
         matcher.reset_round()
         scored = []

@@ -111,7 +111,10 @@ class FrontendParams:
     initial_potential: int = 3      # PixelSelector2.cpp:40
     recursions: int = 1             # makeMaps default recursionsLeft=1
     random_seed: int = 3141592      # PixelSelector2.cpp:37 (deterministic)
-    feature_type: int = 1           # pcd_generator.cpp call site :355 (raw BGR+grad)
+    # 1 = raw BGR + gradients (pcd_generator.cpp:593-615, the call-site
+    # default :355); 0 = HSV + gradients normalized to ~[0,1] (:570-592),
+    # with the reference's COLOR_RGB2HSV-on-a-BGR-image channel quirk kept.
+    feature_type: int = 1
 
 
 @dataclass(frozen=True)
@@ -121,9 +124,16 @@ class SlamConfig:
     KFS_Distance: float = 0.15
     KFS_Angle: float = 30.0
     OptimizationIterations: int = 50
+    # Parsed for config-file parity but DEAD IN THE REFERENCE TOO: its only
+    # uses are commented out (keyframe_graph.cpp:278,325).
     MinConstraintDistance: float = 1.0
+    # Gates the two BA outlier-pruning passes (backend/ba.py). The reference
+    # parses this (run_SLAM.cpp:171-173) but prunes unconditionally; we honor
+    # the knob (default True = reference behavior).
     OptimizationRemoveOutliers: bool = True
     UseMultiThreading: bool = False
+    # Both UseDenseGraph knobs are parsed for parity but DEAD IN THE
+    # REFERENCE TOO (only commented uses, keyframe_graph.cpp:179,1690).
     OptimizationUseDenseGraph: bool = False
     FinalOptimizationUseDenseGraph: bool = True
     FinalOptimizationIterations: int = 1000

@@ -73,6 +73,7 @@ def _keyframe_out(kf):
                 gray=kf.gray, depth_m=kf.depth_m, keypoints=kf.keypoints,
                 kp_angle=kf.kp_angle, descriptors=kf.descriptors,
                 bow_vec=kf.bow_vec, feat_vec=kf.feat_vec,
+                bow_version=kf.bow_version,
                 mappoints_id=dict(kf.mappoints_id),
                 best_covisible=list(kf.best_covisible),
                 frame_list=[(f.timestamp, f.relative_pose)
@@ -87,6 +88,7 @@ def _keyframe_in(d):
                   depth_m=d["depth_m"], keypoints=d["keypoints"],
                   kp_angle=d["kp_angle"], descriptors=d["descriptors"],
                   bow_vec=d["bow_vec"], feat_vec=d["feat_vec"],
+                  bow_version=d.get("bow_version", 0),
                   mappoints_id=dict(d["mappoints_id"]),
                   best_covisible=list(d["best_covisible"]))
     kf.frame_list = [Frame(ts, rel) for ts, rel in d["frame_list"]]

@@ -17,9 +17,13 @@ from ..ops import se3
 import jax.numpy as jnp
 
 
-def _base_scene(cam: CameraConfig, rng, texture_strength: float = 1.0):
+def _base_scene(cam: CameraConfig, rng, texture_strength: float = 1.0,
+                randomize_depth: bool = False):
     """texture_strength < 1 compresses contrast toward mid-gray (the paper's
-    texture-less challenge mode, reference README.md:3)."""
+    texture-less challenge mode, reference README.md:3).
+    randomize_depth draws the wavy-depth frequencies/phases from rng so
+    different seeds produce genuinely different geometry (distinct "places"
+    for place-recognition tests)."""
     H, W = cam.height, cam.width
     base = rng.uniform(0, 255, (H // 8, W // 8)).astype(np.float32)
     tex = cv2.resize(base, (W, H), interpolation=cv2.INTER_CUBIC)
@@ -28,14 +32,21 @@ def _base_scene(cam: CameraConfig, rng, texture_strength: float = 1.0):
                     127.5 + texture_strength * (np.roll(tex, 3, 0) - 127.5),
                     127.5 + texture_strength * (np.roll(tex, 5, 1) - 127.5)],
                    -1).clip(0, 255).astype(np.uint8)
-    z = (2.0 + 0.5 * np.sin(np.linspace(0, 3, W))[None, :]
-         + 0.3 * np.cos(np.linspace(0, 2, H))[:, None])
+    if randomize_depth:
+        ax, ay = rng.uniform(1.5, 4.5), rng.uniform(1.0, 3.0)
+        px, py = rng.uniform(0, 2 * np.pi, 2)
+        z = (2.0 + 0.5 * np.sin(np.linspace(0, ax, W) + px)[None, :]
+             + 0.3 * np.cos(np.linspace(0, ay, H) + py)[:, None])
+    else:
+        z = (2.0 + 0.5 * np.sin(np.linspace(0, 3, W))[None, :]
+             + 0.3 * np.cos(np.linspace(0, 2, H))[:, None])
     return bgr, z.astype(np.float64)
 
 
 def make_sequence(folder: str, cam: CameraConfig, n_frames: int = 12,
                   seed: int = 7, step_twist=None, trajectory=None,
-                  texture_strength: float = 1.0, exposure_ramp: float = 0.0):
+                  texture_strength: float = 1.0, exposure_ramp: float = 0.0,
+                  randomize_depth: bool = False):
     """Create a synthetic sequence under `folder`. Returns the ground-truth
     cam->world poses (N,4,4).
 
@@ -48,7 +59,7 @@ def make_sequence(folder: str, cam: CameraConfig, n_frames: int = 12,
     os.makedirs(os.path.join(folder, "rgb"), exist_ok=True)
     os.makedirs(os.path.join(folder, "depth"), exist_ok=True)
     rng = np.random.default_rng(seed)
-    bgr0, z0 = _base_scene(cam, rng, texture_strength)
+    bgr0, z0 = _base_scene(cam, rng, texture_strength, randomize_depth)
     H, W = cam.height, cam.width
     fx, fy, cx, cy = cam.fx, cam.fy, cam.cx, cam.cy
 

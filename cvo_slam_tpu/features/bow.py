@@ -9,10 +9,13 @@ producing (BowVector, FeatureVector) and L1 similarity scoring
 
 The reference ships no vocabulary (ORBvoc.txt is a missing large blob,
 .MISSING_LARGE_BLOBS); we support the DBoW2 text format when a file is
-provided and otherwise train a per-run vocabulary online from the first
-keyframe's descriptors (hierarchical binary k-means, majority-bit centroids)
-— self-consistent place recognition within the mapped sequence, which is all
-loop closure needs.
+provided and otherwise train a per-run vocabulary ONLINE over the keyframes
+mapped so far (GrowingVocabulary): hierarchical binary k-means with
+majority-bit centroids, retrained at power-of-two keyframe counts with real
+TF-IDF weights (each keyframe = one document, DBoW2 TF_IDF weighting), and a
+deeper tree once enough descriptors accumulate. Keyframes carry a
+`bow_version`; consumers lazily re-transform stale BoW vectors after a
+retrain (backend.loop_closure).
 """
 
 from __future__ import annotations
@@ -109,12 +112,52 @@ class Vocabulary:
                 build(child, descs[g], depth + 1)
 
         build(0, np.asarray(descriptors, np.uint8), 0)
-        # uniform idf (single training "document"); relative BoW scores are
-        # what the LC gate uses (LC_MinScoreRatio), so the scale cancels
+        # uniform idf default (single training "document"); callers with
+        # multiple documents overwrite via set_idf_weights
         for node in voc.node_of_word:
             voc.node_weight[node] = 1.0
         voc._pack()
         return voc
+
+    def _word_nodes(self, descriptors: np.ndarray) -> np.ndarray:
+        """Leaf (word) node id per descriptor — the transform descent only."""
+        child_arr, node_desc, _, _ = self._packed
+        descs = np.asarray(descriptors, np.uint8)
+        cur = np.zeros(len(descs), np.int64)
+        for _ in range(self.L):
+            ch = child_arr[cur]
+            has = ch >= 0
+            if not has.any():
+                break
+            cd = node_desc[np.where(has, ch, 0)]
+            x = np.bitwise_xor(cd, descs[:, None, :])
+            dist = _POPCOUNT[x].sum(axis=-1).astype(np.int32)
+            dist = np.where(has, dist, 1 << 30)
+            nxt = np.take_along_axis(ch, dist.argmin(axis=1)[:, None],
+                                     axis=1)[:, 0]
+            cur = np.where(has.any(axis=1), nxt, cur)
+        return cur
+
+    def set_idf_weights(self, docs) -> None:
+        """Real IDF over training documents (DBoW2 TemplatedVocabulary::
+        setNodeWeights, TF_IDF): weight_i = ln(N / N_i) with N_i = number of
+        documents containing word i — smoothed to ln((N+1)/N_i) so a
+        single-document vocabulary still scores (documented deviation)."""
+        n_docs = len(docs)
+        if n_docs == 0:
+            return
+        counts = np.zeros(len(self.node_of_word), np.int64)
+        for d in docs:
+            if d is None or len(d) == 0:
+                continue
+            words = {self.word_of_node[int(n)]
+                     for n in self._word_nodes(d) if int(n) in self.word_of_node}
+            for w in words:
+                counts[w] += 1
+        for wid, node in enumerate(self.node_of_word):
+            ni = max(int(counts[wid]), 1)
+            self.node_weight[node] = float(np.log((n_docs + 1.0) / ni))
+        self._pack()
 
     def _pack(self):
         n = len(self.children)
@@ -207,19 +250,52 @@ def load_orbvoc_text(path: str) -> Vocabulary:
     return voc
 
 
-# online default vocabulary: trains itself on the first keyframe's descriptors
-class LazyVocabulary:
+class GrowingVocabulary:
+    """Online vocabulary growing with the map.
 
-    def __init__(self, k: int = 10, L: int = 3):
+    Each keyframe contributes one "document" (a deterministic subsample of
+    its descriptors). The tree is retrained from scratch at power-of-two
+    document counts (1, 2, 4, 8, ... — O(log N) retrains, each O(N) work)
+    with real TF-IDF weights, and deepens to L+1 once the corpus is large
+    enough to populate a 10x bigger vocabulary. `version` increments per
+    retrain so consumers can lazily refresh stale BoW vectors
+    (Keyframe.bow_version)."""
+
+    def __init__(self, k: int = 10, L: int = 3, max_desc_per_doc: int = 300,
+                 seed: int = 42, deepen_at: int = 4000):
         self.k, self.L = k, L
+        self.max_desc_per_doc = max_desc_per_doc
+        self.seed = seed
+        self.deepen_at = deepen_at
+        self.docs: list = []
         self._voc: Optional[Vocabulary] = None
+        self.version = 0
 
-    def ensure(self, descriptors: np.ndarray):
-        if self._voc is None and len(descriptors) >= self.k:
-            self._voc = Vocabulary.train(descriptors, self.k, self.L)
+    def add_document(self, descriptors: np.ndarray):
+        if descriptors is None or len(descriptors) < 1:
+            return
+        d = np.asarray(descriptors, np.uint8)
+        if len(d) > self.max_desc_per_doc:
+            idx = np.linspace(0, len(d) - 1, self.max_desc_per_doc,
+                              dtype=np.int64)
+            d = d[idx]
+        self.docs.append(d)
+        n = len(self.docs)
+        total = sum(len(x) for x in self.docs)
+        if (self._voc is None and total >= self.k) or (n & (n - 1)) == 0:
+            self._retrain()
+
+    def _retrain(self):
+        all_desc = np.concatenate(self.docs)
+        if len(all_desc) < self.k:
+            return
+        L = self.L + 1 if len(all_desc) >= self.deepen_at else self.L
+        voc = Vocabulary.train(all_desc, self.k, L, seed=self.seed)
+        voc.set_idf_weights(self.docs)
+        self._voc = voc
+        self.version += 1
 
     def transform(self, descriptors: np.ndarray, levelsup: int = 4):
-        self.ensure(descriptors)
         if self._voc is None:
             return {}, {}
         return self._voc.transform(descriptors, levelsup)
@@ -229,5 +305,9 @@ class LazyVocabulary:
         return Vocabulary.score(v1, v2)
 
 
-def default_vocabulary() -> LazyVocabulary:
-    return LazyVocabulary()
+# backward-compatible alias (round-1 name)
+LazyVocabulary = GrowingVocabulary
+
+
+def default_vocabulary() -> GrowingVocabulary:
+    return GrowingVocabulary()

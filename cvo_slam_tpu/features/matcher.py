@@ -7,9 +7,11 @@ Re-expression of the active code of reference ORBmatcher
   * match_bow: FeatureVector-bucketed mutual-best descriptor matching with
     TH_LOW=50 + nn-ratio test (:136-217) and the 30-bin rotation-histogram
     filter keeping the three dominant bins (:219-257, ComputeThreeMaxima).
-  * RANSAC (:428-645): 100 iterations of 4-point samples; per hypothesis a
-    2-D homography warp check (<=3 px) and a Kabsch rigid transform with
-    bidirectional 3-D reprojection checks (<=8 px).
+  * RANSAC (:428-645): 100 4-point samples; per hypothesis a 2-D homography
+    warp check (<=3 px) and a Kabsch rigid transform with bidirectional 3-D
+    reprojection checks (<=8 px). All 100 hypotheses are evaluated in one
+    batched pass (batched normalized-DLT homographies + batched Kabsch SVDs)
+    instead of the reference's sequential host loop.
   * optimize_relative_transformation (:2407-2457): pose-only LM over the
     inlier projections (EdgeSE3ProjectionOnlyPose residuals, Cauchy kernel,
     information I2 * invLevelSigma2[octave], 20 iterations).
@@ -28,7 +30,6 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
-import cv2
 import numpy as np
 
 from ..config import CameraConfig, SlamConfig
@@ -121,6 +122,63 @@ def kabsch(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
     T[:3, :3] = R
     T[:3, 3] = t
     return T
+
+
+def kabsch_batched(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """(S,4,3)x(S,4,3) -> (S,3,4) [R|t], vectorized kabsch (same math,
+    batched SVD, still no reflection correction)."""
+    cs = src.mean(1, keepdims=True)
+    cd = dst.mean(1, keepdims=True)
+    H = np.einsum("ski,skj->sij", dst - cd, src - cs)
+    U, _, Vt = np.linalg.svd(H)
+    R = U @ Vt
+    t = cd[:, 0, :] - np.einsum("sij,sj->si", R, cs[:, 0, :])
+    return np.concatenate([R, t[:, :, None]], axis=2)
+
+
+def homography_batched(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """Exact 4-point homographies src->dst, (S,4,2)x(S,4,2) -> (S,3,3).
+
+    Batched normalized DLT (the math behind cv2.findHomography on a minimal
+    sample): Hartley-normalize both point sets, solve the 8x9 nullspace by
+    SVD, denormalize. Degenerate (collinear) samples yield an arbitrary
+    nullspace vector whose warp the 3-px gate then rejects — equivalent to
+    the reference skipping cv2's nullptr return."""
+    S = src.shape[0]
+
+    def normalize(pts):
+        c = pts.mean(1, keepdims=True)                     # (S,1,2)
+        d = np.linalg.norm(pts - c, axis=2).mean(1)        # (S,)
+        s = np.sqrt(2.0) / np.maximum(d, 1e-12)
+        T = np.zeros((S, 3, 3))
+        T[:, 0, 0] = s
+        T[:, 1, 1] = s
+        T[:, 2, 2] = 1.0
+        T[:, :2, 2] = -s[:, None] * c[:, 0, :]
+        return (pts - c) * s[:, None, None], T
+
+    sn, Ts = normalize(src)
+    dn, Td = normalize(dst)
+    A = np.zeros((S, 8, 9))
+    x, y = sn[:, :, 0], sn[:, :, 1]
+    u, v = dn[:, :, 0], dn[:, :, 1]
+    A[:, 0::2, 0] = -x
+    A[:, 0::2, 1] = -y
+    A[:, 0::2, 2] = -1.0
+    A[:, 0::2, 6] = u * x
+    A[:, 0::2, 7] = u * y
+    A[:, 0::2, 8] = u
+    A[:, 1::2, 3] = -x
+    A[:, 1::2, 4] = -y
+    A[:, 1::2, 5] = -1.0
+    A[:, 1::2, 6] = v * x
+    A[:, 1::2, 7] = v * y
+    A[:, 1::2, 8] = v
+    _, _, Vt = np.linalg.svd(A)
+    Hn = Vt[:, -1, :].reshape(S, 3, 3)
+    # denormalize: H = Td^-1 Hn Ts
+    Td_inv = np.linalg.inv(Td)
+    return Td_inv @ Hn @ Ts
 
 
 def optimize_relative_transformation(kps_2d: np.ndarray, pts_3d: np.ndarray,
@@ -260,36 +318,46 @@ class Matcher:
                          (c_xy[:, 1] - cy) * c_dep / fy, c_dep], 1)
         n = len(pairs)
 
-        # RANSAC: homography warp gate + Kabsch + bidirectional reprojection
-        best_inliers = np.zeros(0, np.int64)
-        best_T = None
-        for _ in range(100):
-            sel = self.rng.choice(n, size=4, replace=False)
-            Hmat, _ = cv2.findHomography(c_xy[sel].astype(np.float64),
-                                         r_xy[sel].astype(np.float64))
-            if Hmat is None:
-                continue
-            warped = cv2.perspectiveTransform(
-                c_xy.reshape(-1, 1, 2).astype(np.float64), Hmat).reshape(-1, 2)
-            e2d = np.sum((warped - r_xy) ** 2, axis=1)
-            T_cr = kabsch(c_pc[sel].astype(np.float64),
-                          r_pc[sel].astype(np.float64))
-            R, t = T_cr[:3, :3], T_cr[:3, 3]
-            p_in_r = c_pc @ R.T + t
+        # RANSAC: homography warp gate + Kabsch + bidirectional reprojection,
+        # all 100 hypotheses evaluated in ONE batched pass (the reference
+        # loops host-side per hypothesis with per-call cv2/SVD work,
+        # ORBmatcher.cpp:428-645; same samples, same gates, same
+        # first-strict-maximum winner).
+        S = 100
+        sel = np.stack([self.rng.choice(n, size=4, replace=False)
+                        for _ in range(S)])                       # (S,4)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            Hs = homography_batched(c_xy[sel].astype(np.float64),
+                                    r_xy[sel].astype(np.float64))  # (S,3,3)
+            ch = np.concatenate([c_xy, np.ones((n, 1))], 1)        # (n,3)
+            warped = np.einsum("sij,nj->sni", Hs, ch)
+            w = warped[:, :, 2:3]
+            warped2 = warped[:, :, :2] / np.where(np.abs(w) > 1e-12, w, np.nan)
+            e2d = np.sum((warped2 - r_xy[None]) ** 2, axis=2)      # (S,n)
+
+            Rt = kabsch_batched(c_pc[sel].astype(np.float64),
+                                r_pc[sel].astype(np.float64))      # (S,3,4)
+            R, t = Rt[:, :, :3], Rt[:, :, 3]
+            p_in_r = np.einsum("sij,nj->sni", R, c_pc) + t[:, None, :]
             proj_r = p_in_r @ self.K.T
-            pr = proj_r[:, :2] / proj_r[:, 2:3]
-            e3d_1 = np.sum((pr - r_xy) ** 2, axis=1)
-            Rin, tin = R.T, -R.T @ t
-            p_in_c = r_pc @ Rin.T + tin
+            pr = proj_r[:, :, :2] / proj_r[:, :, 2:3]
+            e3d_1 = np.sum((pr - r_xy[None]) ** 2, axis=2)
+            tin = -np.einsum("sji,sj->si", R, t)                   # -R^T t
+            p_in_c = np.einsum("sji,nj->sni", R, r_pc) + tin[:, None, :]
             proj_c = p_in_c @ self.K.T
-            pc2 = proj_c[:, :2] / proj_c[:, 2:3]
-            e3d_2 = np.sum((pc2 - c_xy) ** 2, axis=1)
-            inl = np.flatnonzero((e2d <= 9.0) & (e3d_1 <= 64.0)
-                                 & (e3d_2 <= 64.0))
-            if len(inl) > len(best_inliers):
-                best_inliers = inl
-                best_T = T_cr
-        if len(best_inliers) < cfg.LC_MinMatch or best_T is None:
+            pc2 = proj_c[:, :, :2] / proj_c[:, :, 2:3]
+            e3d_2 = np.sum((pc2 - c_xy[None]) ** 2, axis=2)
+        good = ((e2d <= 9.0) & (e3d_1 <= 64.0) & (e3d_2 <= 64.0)
+                & np.isfinite(e2d) & np.isfinite(e3d_1) & np.isfinite(e3d_2))
+        counts = good.sum(axis=1)                                  # (S,)
+        best_s = int(np.argmax(counts))   # first maximum = sequential '>'
+        if counts[best_s] < max(cfg.LC_MinMatch, 1):
+            return False, 0, None
+        best_inliers = np.flatnonzero(good[best_s])
+        best_T = np.eye(4)
+        best_T[:3, :3] = R[best_s]
+        best_T[:3, 3] = t[best_s]
+        if len(best_inliers) < cfg.LC_MinMatch:
             return False, 0, None
 
         inl_pairs = pairs[best_inliers]

@@ -491,11 +491,16 @@ class KeyframeFeatureHook:
     (local_tracker.cpp:292-300). Exposed as an object so the vocabulary can
     be checkpointed/restored alongside the session."""
 
-    def __init__(self, cam: CameraConfig, cfg: SlamConfig, vocabulary=None):
+    def __init__(self, cam: CameraConfig, cfg: SlamConfig, vocabulary=None,
+                 vocabulary_path: str = ""):
         self.extractor = make_extractor(cam)
         if vocabulary is None:
-            from .bow import default_vocabulary
-            vocabulary = default_vocabulary()
+            if vocabulary_path:
+                from .bow import load_orbvoc_text
+                vocabulary = load_orbvoc_text(vocabulary_path)
+            else:
+                from .bow import default_vocabulary
+                vocabulary = default_vocabulary()
         self.voc = vocabulary
         self.last_ms = 0.0   # keyframe feature cost, surfaced in metrics
 
@@ -507,9 +512,16 @@ class KeyframeFeatureHook:
         kf.keypoints = kp
         kf.kp_angle = ang
         kf.descriptors = desc
+        # online vocabularies grow with every keyframe (no-op for a loaded
+        # DBoW2 vocabulary, which has no add_document)
+        add = getattr(self.voc, "add_document", None)
+        if add is not None:
+            add(desc)
         kf.bow_vec, kf.feat_vec = self.voc.transform(desc, levelsup=4)
+        kf.bow_version = getattr(self.voc, "version", 0)
         self.last_ms = (time.perf_counter() - t0) * 1e3
 
 
-def keyframe_feature_hook(cam: CameraConfig, cfg: SlamConfig):
-    return KeyframeFeatureHook(cam, cfg)
+def keyframe_feature_hook(cam: CameraConfig, cfg: SlamConfig,
+                          vocabulary_path: str = ""):
+    return KeyframeFeatureHook(cam, cfg, vocabulary_path=vocabulary_path)

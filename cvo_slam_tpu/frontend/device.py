@@ -270,9 +270,33 @@ def _subsample(status, pattern, char_th):
 # back-projection into the fixed-capacity Morton-ordered cloud
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("cap",))
+def _hsv8(img):
+    """OpenCV 8U RGB2HSV semantics on the channels as given (the reference
+    feeds a BGR-loaded image to COLOR_RGB2HSV — load_image,
+    pcd_generator.cpp:625 — so channel 0 plays 'R'). Float re-derivation of
+    cv2's fixed-point tables; matches cv2 to within 1 quantum."""
+    f = img.astype(jnp.float32)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    v = jnp.maximum(jnp.maximum(r, g), b)
+    mn = jnp.minimum(jnp.minimum(r, g), b)
+    diff = v - mn
+    safe = jnp.where(diff > 0, diff, 1.0)
+    h_deg = jnp.where(
+        diff <= 0, 0.0,
+        jnp.where(v == r, 60.0 * (g - b) / safe,
+                  jnp.where(v == g, 120.0 + 60.0 * (b - r) / safe,
+                            240.0 + 60.0 * (r - g) / safe)))
+    h_deg = jnp.where(h_deg < 0, h_deg + 360.0, h_deg)
+    H = jnp.round(h_deg / 2.0)
+    H = jnp.where(H >= 180.0, H - 180.0, H)   # 8U hue range is [0,180)
+    S = jnp.where(v > 0, jnp.round(255.0 * diff / jnp.where(v > 0, v, 1.0)),
+                  0.0)
+    return jnp.stack([H, S, v], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("cap", "feature_type"))
 def _build_cloud(status, depth, bgr, dx0, dy0, fx, fy, cx, cy, depth_factor,
-                 cap: int):
+                 cap: int, feature_type: int = 1):
     h, w = status.shape
     dep = depth.astype(jnp.float32)
     keep = (status != 0) & (depth != 0) & jnp.isfinite(dep)
@@ -293,9 +317,15 @@ def _build_cloud(status, depth, bgr, dx0, dy0, fx, fy, cx, cy, depth_factor,
             vals.reshape(-1, width).astype(jnp.float32))[:cap]
 
     positions = scat(jnp.stack([px, py, z], -1), 3)
+    if feature_type == 0:
+        color = _hsv8(bgr) / jnp.asarray([180.0, 255.0, 255.0], jnp.float32)
+        gscale = 2.0 / 255.0
+    else:
+        color = bgr.astype(jnp.float32)
+        gscale = 1.0
     features = scat(jnp.concatenate(
-        [bgr.astype(jnp.float32),
-         dx0.reshape(h, w, 1), dy0.reshape(h, w, 1)], axis=-1), 5)
+        [color, gscale * dx0.reshape(h, w, 1),
+         gscale * dy0.reshape(h, w, 1)], axis=-1), 5)
     pix = jnp.zeros((cap + 1, 2), jnp.int32).at[slot.reshape(-1)].set(
         jnp.stack([xs, ys], -1).reshape(-1, 2))[:cap]
     count = jnp.minimum(flat_keep.sum(), cap)
@@ -343,4 +373,4 @@ def create_pointcloud_device(bgr, gray, depth, cam: CameraConfig,
                           th_factor=1.0, seed=fp.random_seed)
     return _build_cloud(status, jnp.asarray(depth), jnp.asarray(bgr),
                         dxs[0], dys[0], cam.fx, cam.fy, cam.cx, cam.cy,
-                        cam.depth_factor, fp.cloud_capacity)
+                        cam.depth_factor, fp.cloud_capacity, fp.feature_type)

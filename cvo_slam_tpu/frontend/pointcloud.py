@@ -93,9 +93,23 @@ def create_pointcloud(bgr: np.ndarray, gray: np.ndarray, depth: np.ndarray,
     positions[:n, 1] = (ys - cam.cy) * z / cam.fy
     positions[:n, 2] = z
 
-    features[:n, 0:3] = bgr[ys, xs, :].astype(np.float32)
-    features[:n, 3] = dxs[0][ys, xs]
-    features[:n, 4] = dys[0][ys, xs]
+    if fp.feature_type == 0:
+        # HSV + gradients normalized to ~[0,1] (pcd_generator.cpp:570-592).
+        # The reference applies COLOR_RGB2HSV to the BGR-loaded image
+        # (load_image :625); cv2 with the same flag reproduces the channel
+        # quirk exactly.
+        import cv2
+        hsv = cv2.cvtColor(bgr, cv2.COLOR_RGB2HSV)
+        features[:n, 0] = hsv[ys, xs, 0] / 180.0
+        features[:n, 1] = hsv[ys, xs, 1] / 255.0
+        features[:n, 2] = hsv[ys, xs, 2] / 255.0
+        features[:n, 3] = dxs[0][ys, xs] / 255.0 * 2.0
+        features[:n, 4] = dys[0][ys, xs] / 255.0 * 2.0
+    else:
+        # raw BGR + gradients (feature_type 1, pcd_generator.cpp:593-615)
+        features[:n, 0:3] = bgr[ys, xs, :].astype(np.float32)
+        features[:n, 3] = dxs[0][ys, xs]
+        features[:n, 4] = dys[0][ys, xs]
 
     mask[:n] = True
     pix[:n, 0] = xs

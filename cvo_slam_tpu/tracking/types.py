@@ -27,6 +27,12 @@ class TrackingResult:
     inn_lc_prior: float = 0.0
     inn_fixed_pcd: float = 0.0
     inn_moving_pcd: float = 0.0
+    # counted inner-product payload (cvo::inn_p.num, cvo.hpp:52-80): number
+    # of point pairs passing both kernel gates, floored at 1 when empty
+    # (function_inner_product, cvo.cpp:454-456). inn_p.num_e ("excluded") is
+    # always 0 in the reference's active code and is not carried.
+    inn_pre_num: int = 1
+    inn_post_num: int = 1
     cos_angle: float = 0.0
     dis_to_keyframe: int = 0
     matches: int = 0
@@ -57,6 +63,8 @@ class TrackingResult:
             transform=np.asarray(transform, np.float64).copy(),
             information=H.copy(), post_hessian=H.copy(),
             inn_pre=float(ip["inn_pre"]), inn_post=float(ip["inn_post"]),
+            inn_pre_num=max(int(ip.get("inn_pre_num", 1)), 1),
+            inn_post_num=max(int(ip.get("inn_post_num", 1)), 1),
             inn_fixed_pcd=float(ip["inn_fixed"]),
             inn_moving_pcd=float(ip["inn_moving"]),
             cos_angle=float(ip["cos_angle"]))
@@ -86,6 +94,7 @@ class Keyframe:
     descriptors: Optional[np.ndarray] = None    # (K,32) uint8
     bow_vec: Optional[dict] = None              # word id -> weight
     feat_vec: Optional[dict] = None             # node id -> kp index list
+    bow_version: int = 0   # vocabulary version bow_vec/feat_vec were built at
     mappoints_id: Dict[int, int] = field(default_factory=dict)  # kp -> landmark
     best_covisible: List[int] = field(default_factory=list)
     frame_list: List[Frame] = field(default_factory=list)

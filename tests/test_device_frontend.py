@@ -90,3 +90,29 @@ def test_full_cloud_matches_host():
     df = np.asarray(feat)[:n]
     for px, f in zip(np.asarray(pix)[:n].tolist(), df.tolist()):
         np.testing.assert_allclose(f, hfk[tuple(px)], rtol=1e-4, atol=1e-3)
+
+
+def test_cloud_feature_type0_hsv_matches_host():
+    """feature_type=0 (HSV + normalized gradients, pcd_generator.cpp:570-592):
+    host path uses cv2.cvtColor exactly; device path re-derives cv2's HSV in
+    jnp. They must agree to 1 8-bit quantum on H/S and exactly elsewhere."""
+    bgr, gray, depth = _frame()
+    cam = CAMERA_PRESETS["TUM1"]
+    fp = FrontendParams(feature_type=0)
+    host_pc = create_pointcloud(bgr, gray, depth, cam, fp)
+    pos, feat, mask, count, pix = dev.create_pointcloud_device(
+        bgr, gray, depth, cam, fp)
+    n = host_pc.count
+    assert int(count) == n
+    # all five feature channels normalized to ~[0,1] x gradient range
+    assert np.all(host_pc.features[:n, :3] >= 0.0)
+    assert np.all(host_pc.features[:n, :3] <= 1.0 + 1e-6)
+    hfk = {tuple(px): f for px, f in zip(host_pc.selected_pixels[:n].tolist(),
+                                         host_pc.features[:n].tolist())}
+    df = np.asarray(feat)[:n]
+    for px, f in zip(np.asarray(pix)[:n].tolist(), df.tolist()):
+        hf = hfk[tuple(px)]
+        # H quantum = 1/180, S/V quantum = 1/255
+        assert abs(f[0] - hf[0]) <= 1.0 / 180.0 + 1e-6
+        assert abs(f[1] - hf[1]) <= 1.0 / 255.0 + 1e-6
+        np.testing.assert_allclose(f[2:], hf[2:], rtol=1e-4, atol=1e-4)

@@ -149,3 +149,81 @@ def test_orbvoc_text_roundtrip(tmp_path, orb_kf):
     h2, _ = loaded.transform(half)
     assert bow.Vocabulary.score(v1, h1) == pytest.approx(
         bow.Vocabulary.score(v2, h2), abs=1e-9)
+
+
+def test_homography_batched_matches_cv2():
+    """Batched normalized DLT == cv2.findHomography on exact 4-point samples
+    (projectively: compare the induced warps, not the scale of H)."""
+    from cvo_slam_tpu.features.matcher import homography_batched
+    rng = np.random.default_rng(3)
+    S, npts = 32, 4
+    src = rng.uniform(0, 640, (S, npts, 2))
+    dst = rng.uniform(0, 480, (S, npts, 2))
+    Hb = homography_batched(src, dst)
+    for s in range(S):
+        # exactness: a 4-point homography maps its own samples exactly
+        wb = cv2.perspectiveTransform(src[s].reshape(-1, 1, 2),
+                                      Hb[s] / Hb[s, 2, 2]).reshape(-1, 2)
+        np.testing.assert_allclose(wb, dst[s], rtol=1e-6, atol=1e-5)
+        # and agrees with cv2 on in-hull probes (homogeneous warps diverge
+        # arbitrarily near the horizon line, so probe inside the sample hull)
+        Hc, _ = cv2.findHomography(src[s], dst[s])
+        if Hc is None:
+            continue
+        wgt = rng.dirichlet(np.ones(4), size=10)
+        probe = wgt @ src[s]
+        pb = cv2.perspectiveTransform(probe.reshape(-1, 1, 2),
+                                      Hb[s] / Hb[s, 2, 2]).reshape(-1, 2)
+        pc = cv2.perspectiveTransform(probe.reshape(-1, 1, 2),
+                                      Hc).reshape(-1, 2)
+        np.testing.assert_allclose(pb, pc, rtol=1e-3, atol=1e-2)
+
+
+def test_kabsch_batched_matches_solo():
+    from cvo_slam_tpu.features.matcher import kabsch_batched
+    rng = np.random.default_rng(4)
+    src = rng.normal(size=(16, 4, 3))
+    dst = rng.normal(size=(16, 4, 3))
+    Rt = kabsch_batched(src, dst)
+    for s in range(16):
+        T = kabsch(src[s], dst[s])
+        np.testing.assert_allclose(Rt[s, :, :3], T[:3, :3], atol=1e-10)
+        np.testing.assert_allclose(Rt[s, :, 3], T[:3, 3], atol=1e-10)
+
+
+def test_growing_vocabulary_retrains_with_idf(orb_kf):
+    *_, desc = orb_kf
+    rng = np.random.default_rng(5)
+    voc = bow.GrowingVocabulary(k=5, L=2, max_desc_per_doc=60)
+    versions = []
+    for i in range(9):
+        # distinct per-"keyframe" documents: random subsets + bit noise
+        idx = rng.choice(len(desc), size=80, replace=False)
+        d = desc[idx].copy()
+        d[:, i % 32] ^= np.uint8(1 << (i % 8))
+        voc.add_document(d)
+        versions.append(voc.version)
+    # retrains at doc counts 1, 2, 4, 8 -> version increments
+    assert versions[0] == 1 and versions[1] == 2
+    assert versions[3] == 3 and versions[7] == 4
+    assert versions[8] == 4  # no retrain at 9
+    # real IDF: weights vary across words (not all 1.0)
+    w = [voc._voc.node_weight[n] for n in voc._voc.node_of_word]
+    assert len(set(np.round(w, 6))) > 1
+    # transform still scores self == 1
+    v1, fv1 = voc.transform(desc)
+    assert bow.Vocabulary.score(v1, v1) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_stale_bow_refresh_semantics(orb_kf):
+    """Keyframes transformed under an old vocabulary version are re-usable:
+    transform under the new version scores self-similarity 1."""
+    *_, desc = orb_kf
+    voc = bow.GrowingVocabulary(k=5, L=2)
+    voc.add_document(desc[:100])
+    old_v, _ = voc.transform(desc[:100])
+    old_version = voc.version
+    voc.add_document(desc[100:200])   # doc count 2 -> retrain
+    assert voc.version > old_version
+    new_v, _ = voc.transform(desc[:100])
+    assert bow.Vocabulary.score(new_v, new_v) == pytest.approx(1.0, abs=1e-6)
