@@ -92,6 +92,23 @@ class PointCloud(NamedTuple):
                                   jnp.asarray(pc.mask)))
 
 
+def _pad128(pc: PointCloud) -> PointCloud:
+    """Pad a cloud to the next multiple-of-128 capacity (mask=False slots).
+
+    The Pallas kernels tile the point axis in 128-lane strips; arbitrary
+    capacities (e.g. ETH3D-shaped configs with cloud_capacity=3000) are
+    padded here so every backend accepts any capacity. Masked slots
+    contribute exactly zero to all reductions, so results are unchanged."""
+    cap = pc.positions.shape[-2]
+    pad = (-cap) % 128
+    if pad == 0:
+        return pc
+    return PointCloud(
+        jnp.pad(pc.positions, ((0, pad), (0, 0))),
+        jnp.pad(pc.features, ((0, pad), (0, 0))),
+        jnp.pad(pc.mask, (0, pad)))
+
+
 class AlignResult(NamedTuple):
     R: jnp.ndarray          # (3,3) internal state (transform = [R^T | -R^T T])
     T: jnp.ndarray          # (3,)
@@ -111,10 +128,13 @@ def align(fixed: PointCloud, moving: PointCloud, R0, T0, ell0,
     iteration with the loop in XLA — the fallback/batched path)."""
     if backend == "pallas":
         from . import pallas_align
-        res = pallas_align.align_fused(fixed, moving, R0, T0, ell0, p)
+        res = pallas_align.align_fused(_pad128(fixed), _pad128(moving),
+                                       R0, T0, ell0, p)
         _fence()
         return res
 
+    if backend == "pallas_iter":
+        fixed, moving = _pad128(fixed), _pad128(moving)
     x, fx, mx = fixed.positions, fixed.features, fixed.mask
     y0, fy, my = moving.positions, moving.features, moving.mask
 
@@ -236,6 +256,8 @@ def compute_innerproduct(fixed: PointCloud, moving: PointCloud, tran, ell,
     before/after registration, self-norms, cos angle, and the post-Hessian.
 
     Returns a dict of scalars plus the (6,6) post_hessian."""
+    if backend.startswith("pallas"):
+        fixed, moving = _pad128(fixed), _pad128(moving)
     x, fx, mx = fixed.positions, fixed.features, fixed.mask
     y, fy, my = moving.positions, moving.features, moving.mask
     yt = se3.transform_points(tran, y)
@@ -268,6 +290,8 @@ def compute_innerproduct_lc(fixed: PointCloud, moving: PointCloud,
     the moving cloud under four transforms against the fixed cloud, plus the
     post-Hessian (with inlier counts) for the CVO result and the second
     (pnpransac) prior."""
+    if backend.startswith("pallas"):
+        fixed, moving = _pad128(fixed), _pad128(moving)
     x, fx, mx = fixed.positions, fixed.features, fixed.mask
     y, fy, my = moving.positions, moving.features, moving.mask
 
@@ -346,9 +370,14 @@ class Cvo:
         # one batched host transfer for all six outputs (separate np.asarray
         # calls are six blocking readbacks — ~170 ms each through a degraded
         # tunnel, see PERF_NOTES.md)
-        R, T, transform, ell, iters, nnz = jax.device_get(tuple(res))
-        self.R = R
-        self.T = T
+        return self._apply_align(*jax.device_get(tuple(res)))
+
+    def _apply_align(self, R, T, transform, ell, iters, nnz):
+        """Write back one alignment's host outputs (split from _align so a
+        lockstep batch executor can run N alignments in one dispatch and
+        apply each result to its own Cvo — parallel.multi_sequence)."""
+        self.R = np.asarray(R)
+        self.T = np.asarray(T)
         self.transform = np.asarray(transform, np.float64)
         self.ell = float(ell)
         self.iters = int(iters)

@@ -92,6 +92,16 @@ def optimize_ba_sharded(E0, free_pose, sharded, K, iterations: int,
                         robust_delta: float, mesh: Mesh, axis: str = "dp"):
     """Sharded counterpart of backend.ba.optimize_ba. `sharded` comes from
     shard_ba_problem; E0/K are replicated. Returns (E_opt, L_opt_sharded)."""
+    run, args = make_ba_optimizer(E0, free_pose, sharded, K, iterations,
+                                  robust_delta, mesh, axis)
+    return run(jnp.asarray(E0), *args)
+
+
+def make_ba_optimizer(E0, free_pose, sharded, K, iterations: int,
+                      robust_delta: float, mesh: Mesh, axis: str = "dp"):
+    """Build the reusable sharded BA step: returns (run, args) so callers
+    can invoke run(E0, *args) repeatedly against one compilation (used by
+    the scaling harness, eval.scaling)."""
     V = E0.shape[0]
     delta = jnp.asarray(robust_delta, jnp.float32)
     fp = jnp.asarray(free_pose, jnp.float32)
@@ -235,4 +245,4 @@ def optimize_ba_sharded(E0, free_pose, sharded, K, iterations: int,
     args = [jnp.asarray(sharded[k]) for k in
             ("L", "lm_mask", "p_kf", "p_lm", "p_meas", "p_w", "p_mask",
              "ei", "ej", "Z", "omega", "pemask")]
-    return run(jnp.asarray(E0), *args)
+    return jax.jit(run), args

@@ -67,9 +67,18 @@ def _chi2_shard(E, ei, ej, Z, omega, emask, delta):
 
 def optimize_sharded(g: lm.PoseGraph, mesh: Mesh, iterations: int,
                      robust_delta: float = 0.0, axis: str = "dp"):
-    """Edge-sharded LM over `mesh`. Semantics match backend.lm.optimize
-    (same damping schedule); requires len(edges) % mesh size == 0 after
-    padding (pad with masked edges)."""
+    """Edge-sharded LM over `mesh`. Semantics match backend.lm.optimize."""
+    return make_sharded_optimizer(g, mesh, iterations, robust_delta,
+                                  axis)(g.E)
+
+
+def make_sharded_optimizer(g: lm.PoseGraph, mesh: Mesh, iterations: int,
+                           robust_delta: float = 0.0, axis: str = "dp"):
+    """Build a reusable jitted optimizer E0 -> (E_opt, chi2) for this graph
+    topology/mesh (compile once, call many times — used by the scaling
+    harness, eval.scaling). Semantics match backend.lm.optimize (same
+    damping schedule); edges are padded with masked entries so the shard
+    count divides the edge count."""
     n_dev = mesh.shape[axis]
     M = g.ei.shape[0]
     pad = (-M) % n_dev
@@ -148,4 +157,4 @@ def optimize_sharded(g: lm.PoseGraph, mesh: Mesh, iterations: int,
             None, length=iterations)
         return E_opt, total_chi2(E_opt, ei, ej, Z, om, emask)
 
-    return run(g.E)
+    return run

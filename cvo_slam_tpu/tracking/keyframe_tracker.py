@@ -83,14 +83,21 @@ class KeyframeTracker:
 
     def update(self, current: ImagePair) -> np.ndarray:
         """Process one frame; returns the (tracking) absolute pose."""
+        from .local_tracker import drive
+        return drive(self.update_steps(current))
+
+    def update_steps(self, current: ImagePair):
+        """Generator form of update (device-dispatch request protocol, see
+        tracking.local_tracker): yields align/ip requests so the lockstep
+        multi-sequence tracker can batch them across sequences."""
         if self.previous is None:
             self.previous = current
             return self.initial_transformation.copy()
         if self.lt.get_local_map() is None:
-            self.lt.init_new_local_map(self.previous, current,
-                                       self.initial_transformation)
+            yield from self.lt.init_new_local_map_steps(
+                self.previous, current, self.initial_transformation)
             return self.lt.get_current_pose()
-        return self.lt.update(current)
+        return (yield from self.lt.update_steps(current))
 
     def force_keyframe(self):
         self.lt.force_complete_current_local_map()

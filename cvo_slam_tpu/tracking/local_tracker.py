@@ -28,6 +28,37 @@ from .local_map import LocalMap
 from .types import Keyframe, TrackingResult
 
 
+# -- device-dispatch request protocol ----------------------------------------
+# The per-frame tracking logic is written as generators that YIELD device-math
+# requests and receive results via send(). Solo runs drive each generator
+# immediately (execute_request); the lockstep multi-sequence tracker
+# (parallel.multi_sequence) drives N generators together and services
+# same-kind requests in ONE batched device dispatch. One state machine, two
+# execution modes.
+#   ("align", cvo, cloud, pixels) -> (4,4) transform  [set_pcd + align]
+#   ("ip", cvo, tran)             -> compute_innerproduct dict
+
+def execute_request(req):
+    kind, cvo = req[0], req[1]
+    if kind == "align":
+        ready = cvo.set_pcd(req[2], req[3])   # match_odometry (cvo.cpp:461-473)
+        assert ready, "cvo not initialized"
+        return cvo._align()
+    if kind == "ip":
+        return cvo.compute_innerproduct(req[2])
+    raise ValueError(f"unknown request kind {kind!r}")
+
+
+def drive(gen):
+    """Run a request generator to completion solo; returns its value."""
+    try:
+        req = next(gen)
+        while True:
+            req = gen.send(execute_request(req))
+    except StopIteration as e:
+        return e.value
+
+
 class LocalTracker:
 
     def __init__(self, cam: CameraConfig, cfg: SlamConfig,
@@ -74,12 +105,18 @@ class LocalTracker:
     # -- initNewLocalMap, public overload (local_tracker.cpp:223-284)
     def init_new_local_map(self, keyframe_img: ImagePair, frame_img: ImagePair,
                            keyframe_pose: np.ndarray):
+        return drive(self.init_new_local_map_steps(keyframe_img, frame_img,
+                                                   keyframe_pose))
+
+    def init_new_local_map_steps(self, keyframe_img: ImagePair,
+                                 frame_img: ImagePair,
+                                 keyframe_pose: np.ndarray):
         kf_cloud, kf_pix = self._make_cloud(keyframe_img)
         fr_cloud, fr_pix = self._make_cloud(frame_img)
         self.cvo_odometry.set_pcd(kf_cloud, kf_pix)
         self.cvo_keyframe.set_pcd(kf_cloud, kf_pix)
-        T = self.cvo_odometry.match_odometry(fr_cloud, fr_pix)
-        ip = self.cvo_odometry.compute_innerproduct(T.astype(np.float32))
+        T = yield ("align", self.cvo_odometry, fr_cloud, fr_pix)
+        ip = yield ("ip", self.cvo_odometry, T.astype(np.float32))
         r_odometry = TrackingResult.from_innerproduct(T, ip)
         self.cvo_odometry.update_fixed_pcd()
         self._init_new_local_map(keyframe_img, frame_img, r_odometry,
@@ -107,13 +144,16 @@ class LocalTracker:
 
     # -- update (local_tracker.cpp:349-572)
     def update(self, image: ImagePair) -> np.ndarray:
+        return drive(self.update_steps(image))
+
+    def update_steps(self, image: ImagePair):
         self.new_map = False
         cloud, pixels = self._make_cloud(image)
 
         # consecutive tracking
-        T_odo = self.cvo_odometry.match_odometry(cloud, pixels)
+        T_odo = yield ("align", self.cvo_odometry, cloud, pixels)
         T_odo = self._nan_guard(T_odo, "odometry")
-        ip = self.cvo_odometry.compute_innerproduct(T_odo.astype(np.float32))
+        ip = yield ("ip", self.cvo_odometry, T_odo.astype(np.float32))
         r_odometry = TrackingResult.from_innerproduct(T_odo, ip)
         self.metrics["odo_iters"] = self.cvo_odometry.iters
         self.metrics["odo_nnz"] = self.cvo_odometry.nnz
@@ -125,9 +165,9 @@ class LocalTracker:
 
         # keyframe-based tracking, warm-started (local_tracker.cpp:406-415)
         self.cvo_keyframe.reset_initial(T_odo)
-        T_kf = self.cvo_keyframe.match_keyframe(cloud, pixels)
+        T_kf = yield ("align", self.cvo_keyframe, cloud, pixels)
         T_kf = self._nan_guard(T_kf, "keyframe", fallback=self._kf_prior(T_odo))
-        ip2 = self.cvo_keyframe.compute_innerproduct(T_kf.astype(np.float32))
+        ip2 = yield ("ip", self.cvo_keyframe, T_kf.astype(np.float32))
         r_keyframe = TrackingResult.from_innerproduct(T_kf, ip2)
         r_keyframe.dis_to_keyframe = self.local_map.get_frame_number()
         self.metrics["kf_iters"] = self.cvo_keyframe.iters
