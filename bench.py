@@ -91,18 +91,14 @@ def _measure():
         else (lambda x: x)
 
     def frame_step(kf_cloud, prev_cloud, cur_cloud, ell):
-        """Device work of one tracked frame: 2 aligns + 2 innerproduct
-        passes."""
-        r1 = sync(engine.align(prev_cloud, cur_cloud, eye3, zero3, ell, p,
-                               backend))
-        ip1 = sync(engine.compute_innerproduct(prev_cloud, cur_cloud,
-                                               r1.transform, r1.ell, p,
-                                               backend))
-        r2 = sync(engine.align(kf_cloud, cur_cloud, eye3, zero3, r1.ell, p,
-                               backend))
-        ip2 = sync(engine.compute_innerproduct(kf_cloud, cur_cloud,
-                                               r2.transform, r2.ell, p,
-                                               backend))
+        """Device work of one tracked frame, exactly as the tracker issues
+        it: 2 fused align+innerproduct dispatches (engine.align_and_
+        innerproduct — the hot path since the VERDICT r1 item-8 transfer
+        cut)."""
+        r1, ip1 = sync(engine.align_and_innerproduct(
+            prev_cloud, cur_cloud, eye3, zero3, ell, p, backend))
+        r2, ip2 = sync(engine.align_and_innerproduct(
+            kf_cloud, cur_cloud, eye3, zero3, r1.ell, p, backend))
         return r1, ip1, r2, ip2
 
     # warmup / compile (retry once: the tunnel intermittently errors)

@@ -283,6 +283,20 @@ def compute_innerproduct(fixed: PointCloud, moving: PointCloud, tran, ell,
 
 
 @partial(jax.jit, static_argnames=("p", "backend"))
+def align_and_innerproduct(fixed: PointCloud, moving: PointCloud, R0, T0,
+                           ell0, p: CvoParams, backend: str = "xla"):
+    """One dispatch for the tracker's per-instance frame work: align followed
+    by compute_innerproduct on the result (local_tracker.cpp runs these
+    back-to-back for each cvo instance). Fusing them halves both the dispatch
+    count and the blocking host transfers per tracked frame (2 instead of 4
+    — VERDICT r1 item 8)."""
+    res = align(fixed, moving, R0, T0, ell0, p, backend)
+    ip = compute_innerproduct(fixed, moving, res.transform, res.ell, p,
+                              backend)
+    return res, ip
+
+
+@partial(jax.jit, static_argnames=("p", "backend"))
 def compute_innerproduct_lc(fixed: PointCloud, moving: PointCloud,
                             prior_tran, lc_prior_tran, lc_prior_tran_2,
                             lc_tran, ell, p: CvoParams, backend: str = "xla"):
@@ -392,12 +406,23 @@ class Cvo:
 
     match_keyframe = match_odometry   # cvo.cpp:563-576 (same body)
 
+    def _align_with_innerproduct(self):
+        """Fused align + innerproduct: one dispatch, ONE blocking transfer.
+        Returns (transform, ip dict)."""
+        res, ip = align_and_innerproduct(self.fixed, self.moving, self.R,
+                                         self.T, np.float32(self.ell),
+                                         self.params, self.backend)
+        host_res, host_ip = jax.device_get((tuple(res), ip))
+        return self._apply_align(*host_res), host_ip
+
     def compute_innerproduct(self, tran: np.ndarray):
         out = compute_innerproduct(self.fixed, self.moving,
                                    jnp.asarray(tran, jnp.float32),
                                    np.float32(self.ell), self.params,
                                    self.backend)
-        return {k: np.asarray(v) for k, v in out.items()}
+        # ONE batched transfer for the whole dict (per-key np.asarray would
+        # be ~9 blocking readbacks — see PERF_NOTES.md on tunnel latency)
+        return jax.device_get(out)
 
     def compute_innerproduct_lc(self, prior, lc_prior, lc_prior_2, lc_tran):
         out = compute_innerproduct_lc(
@@ -405,7 +430,7 @@ class Cvo:
             jnp.asarray(prior, jnp.float32), jnp.asarray(lc_prior, jnp.float32),
             jnp.asarray(lc_prior_2, jnp.float32), jnp.asarray(lc_tran, jnp.float32),
             np.float32(self.ell), self.params, self.backend)
-        return {k: np.asarray(v) for k, v in out.items()}
+        return jax.device_get(out)
 
     # -- state plumbing (cvo.cpp:578-618)
     def update_fixed_pcd(self):

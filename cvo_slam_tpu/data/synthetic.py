@@ -68,8 +68,22 @@ def make_sequence(folder: str, cam: CameraConfig, n_frames: int = 12,
     G_step = np.asarray(se3.exp_se3(jnp.asarray(step_twist, jnp.float32)),
                         np.float64)
 
-    ys, xs = np.mgrid[0:H, 0:W]
-    P0 = np.stack([(xs - cx) * z0 / fx, (ys - cy) * z0 / fy, z0], -1).reshape(-1, 3)
+    # Supersampled source surface (3x) for the forward splat: rapid motion
+    # leaves splat holes at native resolution, and filling them from the
+    # UNWARPED base frame (the round-1 recipe) feeds the tracker stale
+    # no-motion pixels — corrupting exactly the fast-motion challenge modes.
+    # Dense splatting closes almost all holes; the few left stay INVALID
+    # (depth 0, black), which the selector/ORB gates legitimately skip.
+    SS = 3
+    Hs, Ws = H * SS, W * SS
+    bgr_s = cv2.resize(bgr0, (Ws, Hs), interpolation=cv2.INTER_LINEAR)
+    z_s = cv2.resize(z0, (Ws, Hs), interpolation=cv2.INTER_LINEAR)
+    ys_s, xs_s = np.mgrid[0:Hs, 0:Ws]
+    xf = (xs_s + 0.5) / SS - 0.5      # native-res pixel coordinates
+    yf = (ys_s + 0.5) / SS - 0.5
+    P0 = np.stack([(xf - cx) * z_s / fx, (yf - cy) * z_s / fy, z_s],
+                  -1).reshape(-1, 3)
+    src_colors = bgr_s.reshape(-1, 3)
 
     assoc, gt = [], []
     G = np.eye(4)   # frame k camera pose relative to frame 0: p_k = G p_0
@@ -83,19 +97,18 @@ def make_sequence(folder: str, cam: CameraConfig, n_frames: int = 12,
             bgr, depth = bgr0, (z0 * cam.depth_factor).astype(np.uint16)
         else:
             Pw = P0 @ G[:3, :3].T + G[:3, 3]
-            u = (Pw[:, 0] / Pw[:, 2] * fx + cx).reshape(H, W)
-            v = (Pw[:, 1] / Pw[:, 2] * fy + cy).reshape(H, W)
-            m = (u >= 0) & (u < W - 1) & (v >= 0) & (v < H - 1) & \
-                (Pw[:, 2].reshape(H, W) > 0.1)
+            zw = Pw[:, 2]
+            u = np.round(Pw[:, 0] / zw * fx + cx).astype(np.int64)
+            v = np.round(Pw[:, 1] / zw * fy + cy).astype(np.int64)
+            m = (u >= 0) & (u < W) & (v >= 0) & (v < H) & (zw > 0.1)
+            # z-ordered splat: write far-to-near so the nearest point wins
+            order = np.argsort(-zw[m], kind="stable")
+            ui, vi = u[m][order], v[m][order]
             bgr = np.zeros_like(bgr0)
             depth = np.zeros((H, W), np.uint16)
-            ui, vi = u[m].astype(int), v[m].astype(int)
-            bgr[vi, ui] = bgr0[ys[m], xs[m]]
-            depth[vi, ui] = (Pw[:, 2].reshape(H, W)[m]
-                             * cam.depth_factor).astype(np.uint16)
-            holes = depth == 0
-            bgr[holes] = bgr0[holes]
-            depth[holes] = (z0[holes] * cam.depth_factor).astype(np.uint16)
+            bgr[vi, ui] = src_colors[m][order]
+            depth[vi, ui] = (zw[m][order] * cam.depth_factor
+                             ).astype(np.uint16)
         if exposure_ramp != 0.0 and n_frames > 1:
             gain = 1.0 + exposure_ramp * (k / (n_frames - 1))
             bgr = np.clip(bgr.astype(np.float32) * gain, 0, 255

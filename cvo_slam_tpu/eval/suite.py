@@ -59,25 +59,48 @@ def loop_trajectory(n: int, radius: float = 0.22, lift: float = 0.10,
     return Gs
 
 
+def oscillating_trajectory(n: int, amp_twist, period: float = 40.0):
+    """World->cam transforms G_k = exp(sin(2 pi k / period) * amp_twist):
+    the camera swings about the scene instead of walking off it (a constant
+    twist compounded over 100 frames rotates the camera >100 deg away from
+    the rendered surface, leaving nothing to track). Peak per-frame motion
+    is ~|amp_twist| * 2 pi / period at the zero crossings."""
+    import jax.numpy as jnp
+    amp = np.asarray(amp_twist, np.float32)
+    return [np.asarray(se3_exp(amp * np.sin(2.0 * np.pi * k / period)))
+            for k in range(n)]
+
+
+def se3_exp(twist):
+    from ..ops import se3
+    import jax.numpy as jnp
+    return np.asarray(se3.exp_se3(jnp.asarray(twist, jnp.float32)),
+                      np.float64)
+
+
 # sequence catalog: name -> (n_frames, make_sequence kwargs builder)
 def _catalog():
+    # per-frame peak deltas: amp * 2 pi / period
+    fast = np.array([0.13, 0.10, -0.06, 0.10, -0.06, 0.08])   # ~1.2 deg/frame
+    mild = np.array([0.06, -0.05, 0.04, 0.08, -0.05, 0.06])   # ~0.6 deg/frame
     return {
         # genuine loop circuit (revisit of frame 0 at the end)
         "loop_120": dict(n_frames=120,
                          kwargs=lambda n: dict(trajectory=loop_trajectory(n))),
-        # rapid motion: ~1.3 deg + 18 mm per frame (vs ~0.8 deg / 13 mm default)
+        # rapid motion: ~1.2 deg + 16 mm per frame at the swing crossings
         "fast_rotation_100": dict(
             n_frames=100,
-            kwargs=lambda n: dict(step_twist=np.array(
-                [0.016, 0.012, -0.008, 0.012, -0.008, 0.010]))),
+            kwargs=lambda n: dict(trajectory=oscillating_trajectory(n, fast))),
         # texture-less: contrast compressed to 25%
         "low_texture_100": dict(
             n_frames=100,
-            kwargs=lambda n: dict(texture_strength=0.25)),
+            kwargs=lambda n: dict(trajectory=oscillating_trajectory(n, mild),
+                                  texture_strength=0.25)),
         # over-exposure: +60% linear brightness ramp over the sequence
         "exposure_ramp_100": dict(
             n_frames=100,
-            kwargs=lambda n: dict(exposure_ramp=0.6)),
+            kwargs=lambda n: dict(trajectory=oscillating_trajectory(n, mild),
+                                  exposure_ramp=0.6)),
     }
 
 

@@ -51,6 +51,14 @@ def _batched_ip(fixed, moving, tran, ell, p, backend):
         fixed, moving, tran, ell)
 
 
+@partial(jax.jit, static_argnames=("p", "backend"))
+def _batched_align_ip(fixed, moving, R0, T0, ell0, p, backend):
+    backend = _batch_backend(backend)
+    return jax.vmap(lambda f, m, R, T, e:
+                    engine.align_and_innerproduct(f, m, R, T, e, p, backend))(
+        fixed, moving, R0, T0, ell0)
+
+
 def _stack(clouds: List[engine.PointCloud]) -> engine.PointCloud:
     return engine.PointCloud(
         jnp.stack([c.positions for c in clouds]),
@@ -83,6 +91,30 @@ class _BatchExecutor:
         return [cvo._apply_align(R[j], T[j], transform[j], ell[j], iters[j],
                                  nnz[j])
                 for j, cvo in enumerate(cvos)]
+
+    def run_align_ip(self, reqs):
+        """reqs: [("align_ip", cvo, cloud, pixels), ...] ->
+        [(transform, ip dict), ...] — fused, one dispatch, one transfer."""
+        cvos = []
+        for _, cvo, cloud, pixels in reqs:
+            ready = cvo.set_pcd(cloud, pixels)
+            assert ready, "cvo not initialized"
+            cvos.append(cvo)
+        fixed = _stack([c.fixed for c in cvos])
+        moving = _stack([c.moving for c in cvos])
+        R0 = jnp.asarray(np.stack([c.R for c in cvos]))
+        T0 = jnp.asarray(np.stack([c.T for c in cvos]))
+        ell0 = jnp.asarray(np.array([c.ell for c in cvos], np.float32))
+        res, ip = _batched_align_ip(fixed, moving, R0, T0, ell0, self.params,
+                                    self.backend)
+        (R, T, transform, ell, iters, nnz), ip_host = jax.device_get(
+            (tuple(res), {k: v for k, v in ip.items()}))
+        out = []
+        for j, cvo in enumerate(cvos):
+            tr = cvo._apply_align(R[j], T[j], transform[j], ell[j], iters[j],
+                                  nnz[j])
+            out.append((tr, {k: v[j] for k, v in ip_host.items()}))
+        return out
 
     def run_ip(self, reqs):
         """reqs: [("ip", cvo, tran), ...] -> [ip dict, ...]."""
@@ -148,7 +180,8 @@ class MultiSequenceTracker:
             # batch every same-kind request currently pending; sequences at
             # a different phase (e.g. bootstrap) simply wait for their kind's
             # round — lockstep is the common case, mixed phases stay correct
-            for kind, runner in (("align", self._exec.run_align),
+            for kind, runner in (("align_ip", self._exec.run_align_ip),
+                                 ("align", self._exec.run_align),
                                  ("ip", self._exec.run_ip)):
                 idxs = [i for i, r in enumerate(pending)
                         if r is not None and r[0] == kind]

@@ -35,13 +35,19 @@ from .types import Keyframe, TrackingResult
 # (parallel.multi_sequence) drives N generators together and services
 # same-kind requests in ONE batched device dispatch. One state machine, two
 # execution modes.
-#   ("align", cvo, cloud, pixels) -> (4,4) transform  [set_pcd + align]
-#   ("ip", cvo, tran)             -> compute_innerproduct dict
+#   ("align_ip", cvo, cloud, pixels) -> ((4,4) transform, ip dict)
+#                                       [set_pcd + fused align+innerproduct]
+#   ("align", cvo, cloud, pixels)    -> (4,4) transform  [set_pcd + align]
+#   ("ip", cvo, tran)                -> compute_innerproduct dict
 
 def execute_request(req):
     kind, cvo = req[0], req[1]
-    if kind == "align":
+    if kind == "align_ip":
         ready = cvo.set_pcd(req[2], req[3])   # match_odometry (cvo.cpp:461-473)
+        assert ready, "cvo not initialized"
+        return cvo._align_with_innerproduct()
+    if kind == "align":
+        ready = cvo.set_pcd(req[2], req[3])
         assert ready, "cvo not initialized"
         return cvo._align()
     if kind == "ip":
@@ -115,8 +121,7 @@ class LocalTracker:
         fr_cloud, fr_pix = self._make_cloud(frame_img)
         self.cvo_odometry.set_pcd(kf_cloud, kf_pix)
         self.cvo_keyframe.set_pcd(kf_cloud, kf_pix)
-        T = yield ("align", self.cvo_odometry, fr_cloud, fr_pix)
-        ip = yield ("ip", self.cvo_odometry, T.astype(np.float32))
+        T, ip = yield ("align_ip", self.cvo_odometry, fr_cloud, fr_pix)
         r_odometry = TrackingResult.from_innerproduct(T, ip)
         self.cvo_odometry.update_fixed_pcd()
         self._init_new_local_map(keyframe_img, frame_img, r_odometry,
@@ -149,11 +154,17 @@ class LocalTracker:
     def update_steps(self, image: ImagePair):
         self.new_map = False
         cloud, pixels = self._make_cloud(image)
+        transfers = 0   # blocking device->host transfers in the hot path
 
-        # consecutive tracking
-        T_odo = yield ("align", self.cvo_odometry, cloud, pixels)
-        T_odo = self._nan_guard(T_odo, "odometry")
-        ip = yield ("ip", self.cvo_odometry, T_odo.astype(np.float32))
+        # consecutive tracking (fused align+innerproduct: 1 dispatch,
+        # 1 blocking transfer; the ip is redone solo in the rare case the
+        # NaN guard replaced the transform)
+        T_raw, ip = yield ("align_ip", self.cvo_odometry, cloud, pixels)
+        transfers += 1
+        T_odo = self._nan_guard(T_raw, "odometry")
+        if T_odo is not T_raw:
+            ip = yield ("ip", self.cvo_odometry, T_odo.astype(np.float32))
+            transfers += 1
         r_odometry = TrackingResult.from_innerproduct(T_odo, ip)
         self.metrics["odo_iters"] = self.cvo_odometry.iters
         self.metrics["odo_nnz"] = self.cvo_odometry.nnz
@@ -165,9 +176,14 @@ class LocalTracker:
 
         # keyframe-based tracking, warm-started (local_tracker.cpp:406-415)
         self.cvo_keyframe.reset_initial(T_odo)
-        T_kf = yield ("align", self.cvo_keyframe, cloud, pixels)
-        T_kf = self._nan_guard(T_kf, "keyframe", fallback=self._kf_prior(T_odo))
-        ip2 = yield ("ip", self.cvo_keyframe, T_kf.astype(np.float32))
+        T_kraw, ip2 = yield ("align_ip", self.cvo_keyframe, cloud, pixels)
+        transfers += 1
+        T_kf = self._nan_guard(T_kraw, "keyframe",
+                               fallback=self._kf_prior(T_odo))
+        if T_kf is not T_kraw:
+            ip2 = yield ("ip", self.cvo_keyframe, T_kf.astype(np.float32))
+            transfers += 1
+        self.metrics["hot_transfers"] = transfers   # 2 unless a NaN repair ran
         r_keyframe = TrackingResult.from_innerproduct(T_kf, ip2)
         r_keyframe.dis_to_keyframe = self.local_map.get_frame_number()
         self.metrics["kf_iters"] = self.cvo_keyframe.iters

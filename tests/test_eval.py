@@ -88,3 +88,36 @@ def test_cli_round_trip(tmp_path, capsys):
     out = json.loads(capsys.readouterr().out)
     assert out["ate_rmse"] < 1e-6
     assert out["intervals"] == 19
+
+
+@pytest.mark.slow
+def test_quality_regression_thresholds(tmp_path):
+    """CI-style end-to-end quality gate on a challenge-mode sequence
+    (VERDICT r1 item 2): 60 frames of fast rotation + exposure ramp through
+    the FULL pipeline must stay under an ATE threshold that tracks the
+    recorded RESULTS.md numbers."""
+    from cvo_slam_tpu.config import CameraConfig, FrontendParams, SlamConfig
+    from cvo_slam_tpu.data import synthetic, tum
+    from cvo_slam_tpu.app.run_slam import run
+    import os
+
+    cam = CameraConfig(fx=130.0, fy=130.0, cx=80.0, cy=60.0,
+                       depth_factor=5000.0, width=160, height=120)
+    cfg = SlamConfig.default_shipped().replace(
+        frontend=FrontendParams(num_want=600, cloud_capacity=768),
+        FinalOptimizationIterations=50)
+    from cvo_slam_tpu.eval.suite import oscillating_trajectory
+    folder = str(tmp_path)
+    synthetic.make_sequence(
+        folder, cam, n_frames=60,
+        trajectory=oscillating_trajectory(
+            60, np.array([0.13, 0.10, -0.06, 0.10, -0.06, 0.08])),
+        exposure_ramp=0.6)
+    run(folder, "associate.txt", cam, cfg)
+
+    gt_ts, gt = tum.read_trajectory(os.path.join(folder, "groundtruth.txt"))
+    for fname, thresh in (("Tracking_trajectory.txt", 0.02),
+                          ("SLAM_trajectory.txt", 0.02)):
+        ts, poses = tum.read_trajectory(os.path.join(folder, fname))
+        rmse = tum.ate_rmse(gt_ts, gt, ts, poses)
+        assert rmse < thresh, f"{fname}: ATE {rmse} >= {thresh}"

