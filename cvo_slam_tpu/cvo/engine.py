@@ -137,6 +137,12 @@ def align(fixed: PointCloud, moving: PointCloud, R0, T0, ell0,
         fixed, moving = _pad128(fixed), _pad128(moving)
     x, fx, mx = fixed.positions, fixed.features, fixed.mask
     y0, fy, my = moving.positions, moving.features, moving.mask
+    if backend == "xla":
+        # the color kernel + gate depend only on features/masks — invariant
+        # across align iterations (only positions transform, cvo.cpp:336).
+        # Compute once, carry as a loop constant: the per-iteration pairwise
+        # work drops to the geometric half.
+        ck_gated = pairwise.color_kernel_gated(fx, fy, mx, my, p)
 
     def body(carry):
         k, R, T, ell, done, iters, nnz = carry
@@ -150,7 +156,8 @@ def align(fixed: PointCloud, moving: PointCloud, R0, T0, ell0,
             omega, v, nnz_k, B, C, D, E = pk.flow_and_step(
                 x, y, fx, fy, mx, my, ell, p)
         else:
-            omega, v, A, nnz_k = pairwise.flow(x, y, fx, fy, mx, my, ell, p)
+            omega, v, A, nnz_k = pairwise.flow_from_color(x, y, ck_gated,
+                                                          ell, p)
             B, C, D, E = pairwise.step_coeffs(x, y, A, omega, v, ell)
         step = cubic.min_positive_root_or(4.0 * E, 3.0 * D, 2.0 * C, B,
                                           p.min_step, p.max_step)

@@ -81,6 +81,32 @@ def cvo_kernel(x, y, fx, fy, mx, my, ell, p: CvoParams):
     return jnp.where(keep, a, 0.0), keep
 
 
+def color_kernel_gated(fx, fy, mx, my, p: CvoParams):
+    """Color kernel with its gate + validity masks folded in (zero where the
+    color gate or a mask fails). Features do not change during an alignment
+    (only positions transform, cvo.cpp:336-341), so align computes this ONCE
+    and carries it across the while_loop — the per-iteration cost drops to
+    the geometric half."""
+    d2c = _pairwise_sq_dists(fx, fy)
+    cgate = (d2c < d2_color_threshold(p)) & mx[:, None] & my[None, :]
+    ck = (p.c_sigma * p.c_sigma) * jnp.exp(
+        jnp.maximum(-d2c / (2.0 * p.c_ell * p.c_ell), -20.0))
+    return jnp.where(cgate, ck, 0.0)
+
+
+def cvo_kernel_from_color(x, y, ckg, ell, p: CvoParams):
+    """cvo_kernel with the color factor precomputed by color_kernel_gated.
+    Identical output: ckg==0 encodes a failed color gate/mask, which zeroes
+    a and therefore fails the a > sp_thres test exactly as before."""
+    d2 = _pairwise_sq_dists(x, y)
+    ggate = d2 < d2_threshold(ell, p)
+    k = (p.sigma * p.sigma) * jnp.exp(
+        jnp.maximum(-d2 / (2.0 * ell * ell), -20.0))
+    a = ckg * k
+    keep = ggate & (a > p.sp_thres)
+    return jnp.where(keep, a, 0.0), keep
+
+
 def flow(x, y, fx, fy, mx, my, ell, p: CvoParams):
     """omega, v of the RKHS gradient flow (compute_flow, cvo.cpp:187-236):
 
@@ -89,6 +115,17 @@ def flow(x, y, fx, fy, mx, my, ell, p: CvoParams):
 
     Returns (omega, v, A, nnz)."""
     A, keep = cvo_kernel(x, y, fx, fy, mx, my, ell, p)
+    return _flow_from_A(x, y, A, keep, p)
+
+
+def flow_from_color(x, y, ckg, ell, p: CvoParams):
+    """flow with the iteration-invariant color kernel precomputed
+    (color_kernel_gated); bitwise-identical results."""
+    A, keep = cvo_kernel_from_color(x, y, ckg, ell, p)
+    return _flow_from_A(x, y, A, keep, p)
+
+
+def _flow_from_A(x, y, A, keep, p: CvoParams):
     m = A @ y                      # (N,3) row-wise weighted moving moments
     s = jnp.sum(A, axis=1)         # (N,) row sums
     # conditioning: accumulate the locally-small d_i = sum_j A_ij (y_j - x_i)
