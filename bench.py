@@ -79,14 +79,15 @@ def _measure():
     backend = engine.default_backend()
     log(f"backend={backend}")
 
-    # The axon tunnel runtime errors ('TPU backend error (InvalidArgument)')
-    # when more than one large Pallas program is in flight in its execution
-    # queue (bisected: any single stage passes, the 4-stage async chain
-    # fails; interleaved tiny fences do not help; host sync between stages
-    # does). The Pallas backends therefore sync between stages — which is
-    # exactly what the real tracker pipeline does anyway (it reads each
-    # stage's scalars on host before deciding the next step). The plain-XLA
-    # backend is unaffected and runs fully async.
+    # Root cause of the round-1 0.0-fps failure (bisected, PERF_NOTES.md):
+    # the axon tunnel runtime has a re-dispatch bug with DATA-DEPENDENT
+    # `pl.when` tile-skip predicates — once a skipping kernel has run, a
+    # later dispatch whose skip pattern differs (e.g. the annealed ell of
+    # the next frame) fails with an opaque INVALID_ARGUMENT and poisons the
+    # process. With CVO_SLAM_TILE_SKIP=0 (all tiles computed, bitwise-equal
+    # results) the same programs run indefinitely. The plain-XLA backend is
+    # unaffected either way. Host syncs between stages do NOT prevent the
+    # failure (tested); kept only to keep salvaged timings per-stage-honest.
     sync = (lambda x: jax.block_until_ready(x)) if backend != "xla" \
         else (lambda x: x)
 
@@ -137,12 +138,14 @@ def _measure():
     fps = 1.0 / (sum(best) / len(best))
     log(f"{len(times)} frames measured; best-{k} mean -> {fps:.2f} fps")
 
+    from cvo_slam_tpu.cvo import pallas_kernels as _pk
     print(json.dumps({
         "metric": "tracking_frames_per_s_chip",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / 30.0, 3),
         "backend": backend,
+        "tile_skip": _pk.skip_enabled(),
         "frames_measured": len(times),
     }), flush=True)
 
@@ -158,16 +161,18 @@ def main():
         _measure()
         return
     results = []
-    # try all three backends (whole-align megakernel / per-iteration Pallas
-    # launches / plain-XLA while_loop): which is fastest depends on the
-    # tunnel runtime's health; xla last as the always-works fallback so a
-    # Pallas regression can never zero the benchmark again
-    # the tunnel's Pallas failures are stochastic (the same program+data
-    # passes or fails run to run), so each Pallas backend gets two child
-    # attempts; the XLA backend has never failed and is the guaranteed floor
-    for backend in ("pallas", "pallas_iter", "pallas_iter", "xla"):
+    # Candidate (backend, tile-skip) configs, fastest-if-healthy first:
+    # - pallas + skip: megakernel with spatial tile skipping — the fastest
+    #   config on a healthy runtime, but dies on the axon tunnel's
+    #   re-dispatch bug with data-dependent skip predicates (PERF_NOTES.md)
+    # - pallas / pallas_iter with CVO_SLAM_TILE_SKIP=0: bitwise-equal
+    #   results, static tile predicates — immune to the runtime bug
+    # - xla last as the always-works floor so a Pallas regression can never
+    #   zero the benchmark again
+    for backend, skip in (("pallas", "1"), ("pallas", "0"),
+                          ("pallas_iter", "0"), ("xla", "1")):
         env = dict(os.environ, CVO_BENCH_CHILD="1", PYTHONUNBUFFERED="1",
-                   CVO_SLAM_BACKEND=backend)
+                   CVO_SLAM_BACKEND=backend, CVO_SLAM_TILE_SKIP=skip)
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],

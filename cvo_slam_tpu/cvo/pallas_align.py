@@ -442,9 +442,15 @@ def align_fused(fixed, moving, R0, T0, ell0, p: CvoParams):
     y_init = y @ R0 + Tt0[None, :]
     margin = jnp.float32(p.skip_margin)
     ells = [ell0] + [jnp.float32(v) for v in p.ell_anneal_values]
-    flags = jnp.stack([
-        _skip_flags_margin(x, mx, y_init, my, e, tn, margin, p)
-        for e in ells]).reshape(len(ells), n_t, n_t)
+    if pk.skip_enabled():
+        flags = jnp.stack([
+            _skip_flags_margin(x, mx, y_init, my, e, tn, margin, p)
+            for e in ells]).reshape(len(ells), n_t, n_t)
+    else:
+        # CVO_SLAM_TILE_SKIP=0: every tile computed, static trip counts
+        # (see pk.skip_enabled — works around the axon-runtime re-dispatch
+        # bug with data-dependent tile predicates)
+        flags = jnp.ones((len(ells), n_t, n_t), jnp.int32)
     # compressed per-strip tile lists: passing tile indices first (stable),
     # plus per-strip pass counts — the kernel loops over exactly these
     idxs = jnp.argsort(1 - flags, axis=-1, stable=True).astype(jnp.int32)

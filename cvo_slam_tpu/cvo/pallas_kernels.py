@@ -22,6 +22,7 @@ by tests/test_pallas.py in interpret mode and on-device.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +33,21 @@ from ..config import CvoParams
 from ..ops import pairwise
 
 TN = 512          # preferred X-strip width (columns of transposed layout)
+
+
+def skip_enabled() -> bool:
+    """Whether spatial tile skipping is active (CVO_SLAM_TILE_SKIP, default 1).
+
+    Set CVO_SLAM_TILE_SKIP=0 to force every (strip, tile) pair to be
+    computed. Results are bitwise identical either way (skipped tiles
+    contain no gated pair — tests/test_pallas.py::test_tile_skipping_
+    exactness); the knob exists because the axon-tunnel TPU runtime has a
+    re-dispatch bug triggered by data-dependent `pl.when` tile predicates:
+    a process that ran a skipping kernel fails later dispatches with an
+    opaque `INVALID_ARGUMENT: TPU backend error` once the skip pattern
+    changes (bisected in PERF_NOTES.md — all-ones predicates never fail).
+    Read at trace time: flip it before the first jitted call."""
+    return os.environ.get("CVO_SLAM_TILE_SKIP", "1") != "0"
 
 
 def _tn(cap: int, pref: int = 512) -> int:
@@ -424,6 +440,10 @@ def _tile_bounds(pos, mask, tile):
 
 def _skip_flags(x, mx, y, my, ell, tile, p: CvoParams, tile_b: int = 0):
     """(n_xt*n_yt,) int32: 1 where the (strip, tile) pair must be computed."""
+    if not skip_enabled():
+        n_xt = x.shape[0] // tile
+        n_yt = y.shape[0] // (tile_b or tile)
+        return jnp.ones((n_xt * n_yt,), jnp.int32)
     xlo, xhi = _tile_bounds(x, mx, tile)
     ylo, yhi = _tile_bounds(y, my, tile_b or tile)
     d2t = -2.0 * ell * ell * jnp.log(p.sp_thres / (p.sigma * p.sigma))

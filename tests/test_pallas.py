@@ -309,3 +309,49 @@ def test_megakernel_scalar_helpers():
                                jnp.float32(0.8))
         np.testing.assert_allclose(float(got), float(ref), rtol=2e-4,
                                    atol=2e-4)
+
+
+def test_tile_skip_env_knob(monkeypatch):
+    """CVO_SLAM_TILE_SKIP=0 must force all-ones skip flags (every tile
+    computed) with results bitwise equal to the skipping path. This is the
+    workaround for the axon-tunnel runtime's re-dispatch failure with
+    data-dependent pl.when predicates (PERF_NOTES.md); bench.py relies on it."""
+    import jax
+    x, fx, mx, y, fy, my = _morton_clouds(17)
+    ell = jnp.float32(0.10)
+    with pltpu.force_tpu_interpret_mode():
+        got = pk.flow_and_step(x, y, fx, fy, mx, my, ell, P)
+
+    monkeypatch.setenv("CVO_SLAM_TILE_SKIP", "0")
+    assert not pk.skip_enabled()
+    flags = np.asarray(pk._skip_flags(x, mx, y, my, ell, 128, P))
+    assert flags.min() == 1 and flags.shape == ((x.shape[0] // 128) ** 2,)
+    pk.flow_and_step.clear_cache()
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            ref = pk.flow_and_step(x, y, fx, fy, mx, my, ell, P)
+    finally:
+        monkeypatch.delenv("CVO_SLAM_TILE_SKIP")
+        pk.flow_and_step.clear_cache()
+    for g, r in zip(got, ref):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+
+    # megakernel path: align_fused with the knob off must match knob on
+    from cvo_slam_tpu.cvo import engine
+    fixed = engine.PointCloud(x, fx, mx)
+    moving = engine.PointCloud(y, fy, my)
+    with pltpu.force_tpu_interpret_mode():
+        a_on = engine.align(fixed, moving, jnp.eye(3), jnp.zeros(3),
+                            jnp.float32(0.15), P, "pallas")
+    monkeypatch.setenv("CVO_SLAM_TILE_SKIP", "0")
+    jax.clear_caches()
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            a_off = engine.align(fixed, moving, jnp.eye(3), jnp.zeros(3),
+                                 jnp.float32(0.15), P, "pallas")
+    finally:
+        monkeypatch.delenv("CVO_SLAM_TILE_SKIP")
+        jax.clear_caches()
+    assert int(a_on.iters) == int(a_off.iters)
+    np.testing.assert_array_equal(np.asarray(a_on.transform),
+                                  np.asarray(a_off.transform))
