@@ -138,14 +138,18 @@ def _measure():
     fps = 1.0 / (sum(best) / len(best))
     log(f"{len(times)} frames measured; best-{k} mean -> {fps:.2f} fps")
 
-    from cvo_slam_tpu.cvo import pallas_kernels as _pk
+    if backend == "xla":
+        tile_skip = None      # tile skipping is a Pallas-only mechanism
+    else:
+        from cvo_slam_tpu.cvo import pallas_kernels as _pk
+        tile_skip = _pk.skip_enabled()
     print(json.dumps({
         "metric": "tracking_frames_per_s_chip",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / 30.0, 3),
         "backend": backend,
-        "tile_skip": _pk.skip_enabled(),
+        "tile_skip": tile_skip,
         "frames_measured": len(times),
     }), flush=True)
 

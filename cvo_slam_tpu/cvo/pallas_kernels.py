@@ -35,19 +35,38 @@ from ..ops import pairwise
 TN = 512          # preferred X-strip width (columns of transposed layout)
 
 
-def skip_enabled() -> bool:
-    """Whether spatial tile skipping is active (CVO_SLAM_TILE_SKIP, default 1).
+# Read ONCE at import: the flag participates in traced computations (the
+# skip-flag inputs of the Pallas kernels) but is not part of any jit cache
+# key, so a mid-process env flip would silently keep stale compiled
+# behavior. Freezing it at import makes the env knob predictable
+# (set it before importing, as bench.py's subprocesses do); mid-process
+# changes must go through set_tile_skip(), which clears the jit caches.
+_TILE_SKIP = os.environ.get("CVO_SLAM_TILE_SKIP", "1") != "0"
 
-    Set CVO_SLAM_TILE_SKIP=0 to force every (strip, tile) pair to be
-    computed. Results are bitwise identical either way (skipped tiles
-    contain no gated pair — tests/test_pallas.py::test_tile_skipping_
-    exactness); the knob exists because the axon-tunnel TPU runtime has a
-    re-dispatch bug triggered by data-dependent `pl.when` tile predicates:
-    a process that ran a skipping kernel fails later dispatches with an
-    opaque `INVALID_ARGUMENT: TPU backend error` once the skip pattern
-    changes (bisected in PERF_NOTES.md — all-ones predicates never fail).
-    Read at trace time: flip it before the first jitted call."""
-    return os.environ.get("CVO_SLAM_TILE_SKIP", "1") != "0"
+
+def skip_enabled() -> bool:
+    """Whether spatial tile skipping is active (CVO_SLAM_TILE_SKIP, default 1,
+    read once at import — use set_tile_skip() to change it mid-process).
+
+    With skipping off every (strip, tile) pair is computed. Results are
+    bitwise identical either way (skipped tiles contain no gated pair —
+    tests/test_pallas.py::test_tile_skipping_exactness); the knob exists
+    because the axon-tunnel TPU runtime has a re-dispatch bug triggered by
+    data-dependent `pl.when` tile predicates: a process that ran a skipping
+    kernel fails later dispatches with an opaque `INVALID_ARGUMENT: TPU
+    backend error` once the skip pattern changes (bisected in PERF_NOTES.md
+    — all-ones predicates never fail)."""
+    return _TILE_SKIP
+
+
+def set_tile_skip(on: bool) -> None:
+    """Flip tile skipping mid-process. Clears the jax compilation caches so
+    already-traced programs cannot keep the stale behavior."""
+    global _TILE_SKIP
+    if _TILE_SKIP == bool(on):
+        return
+    _TILE_SKIP = bool(on)
+    jax.clear_caches()
 
 
 def _tn(cap: int, pref: int = 512) -> int:

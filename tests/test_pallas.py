@@ -311,47 +311,51 @@ def test_megakernel_scalar_helpers():
                                    atol=2e-4)
 
 
-def test_tile_skip_env_knob(monkeypatch):
-    """CVO_SLAM_TILE_SKIP=0 must force all-ones skip flags (every tile
+def test_tile_skip_env_knob():
+    """set_tile_skip(False) must force all-ones skip flags (every tile
     computed) with results bitwise equal to the skipping path. This is the
     workaround for the axon-tunnel runtime's re-dispatch failure with
-    data-dependent pl.when predicates (PERF_NOTES.md); bench.py relies on it."""
-    import jax
+    data-dependent pl.when predicates (PERF_NOTES.md); bench.py relies on it.
+
+    The baseline half is pinned to set_tile_skip(True) so it is guaranteed
+    to exercise the skipping path regardless of the ambient
+    CVO_SLAM_TILE_SKIP (ADVICE r2): if the runner exported =0, both halves
+    would otherwise run the no-skip path and the check would be vacuous."""
     x, fx, mx, y, fy, my = _morton_clouds(17)
     ell = jnp.float32(0.10)
-    with pltpu.force_tpu_interpret_mode():
-        got = pk.flow_and_step(x, y, fx, fy, mx, my, ell, P)
-
-    monkeypatch.setenv("CVO_SLAM_TILE_SKIP", "0")
-    assert not pk.skip_enabled()
-    flags = np.asarray(pk._skip_flags(x, mx, y, my, ell, 128, P))
-    assert flags.min() == 1 and flags.shape == ((x.shape[0] // 128) ** 2,)
-    pk.flow_and_step.clear_cache()
+    ambient = pk.skip_enabled()
     try:
+        pk.set_tile_skip(True)
+        # the skipping path must actually skip something on these spread-out
+        # Morton clouds at the annealed ell, or the equivalence is vacuous
+        flags_on = np.asarray(pk._skip_flags(x, mx, y, my, ell, 128, P))
+        assert flags_on.min() == 0, "no tile skipped: baseline is vacuous"
+        with pltpu.force_tpu_interpret_mode():
+            got = pk.flow_and_step(x, y, fx, fy, mx, my, ell, P)
+
+        pk.set_tile_skip(False)
+        assert not pk.skip_enabled()
+        flags = np.asarray(pk._skip_flags(x, mx, y, my, ell, 128, P))
+        assert flags.min() == 1 and flags.shape == ((x.shape[0] // 128) ** 2,)
         with pltpu.force_tpu_interpret_mode():
             ref = pk.flow_and_step(x, y, fx, fy, mx, my, ell, P)
-    finally:
-        monkeypatch.delenv("CVO_SLAM_TILE_SKIP")
-        pk.flow_and_step.clear_cache()
-    for g, r in zip(got, ref):
-        np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+        for g, r in zip(got, ref):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
 
-    # megakernel path: align_fused with the knob off must match knob on
-    from cvo_slam_tpu.cvo import engine
-    fixed = engine.PointCloud(x, fx, mx)
-    moving = engine.PointCloud(y, fy, my)
-    with pltpu.force_tpu_interpret_mode():
-        a_on = engine.align(fixed, moving, jnp.eye(3), jnp.zeros(3),
-                            jnp.float32(0.15), P, "pallas")
-    monkeypatch.setenv("CVO_SLAM_TILE_SKIP", "0")
-    jax.clear_caches()
-    try:
+        # megakernel path: align_fused with the knob off must match knob on
+        from cvo_slam_tpu.cvo import engine
+        fixed = engine.PointCloud(x, fx, mx)
+        moving = engine.PointCloud(y, fy, my)
+        pk.set_tile_skip(True)
+        with pltpu.force_tpu_interpret_mode():
+            a_on = engine.align(fixed, moving, jnp.eye(3), jnp.zeros(3),
+                                jnp.float32(0.15), P, "pallas")
+        pk.set_tile_skip(False)
         with pltpu.force_tpu_interpret_mode():
             a_off = engine.align(fixed, moving, jnp.eye(3), jnp.zeros(3),
                                  jnp.float32(0.15), P, "pallas")
+        assert int(a_on.iters) == int(a_off.iters)
+        np.testing.assert_array_equal(np.asarray(a_on.transform),
+                                      np.asarray(a_off.transform))
     finally:
-        monkeypatch.delenv("CVO_SLAM_TILE_SKIP")
-        jax.clear_caches()
-    assert int(a_on.iters) == int(a_off.iters)
-    np.testing.assert_array_equal(np.asarray(a_on.transform),
-                                  np.asarray(a_off.transform))
+        pk.set_tile_skip(ambient)
