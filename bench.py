@@ -165,16 +165,19 @@ def main():
         _measure()
         return
     results = []
-    # Candidate (backend, tile-skip) configs, fastest-if-healthy first:
-    # - pallas + skip: megakernel with spatial tile skipping — the fastest
-    #   config on a healthy runtime, but dies on the axon tunnel's
-    #   re-dispatch bug with data-dependent skip predicates (PERF_NOTES.md)
+    # Candidate (backend, tile-skip) configs:
+    # - xla FIRST: the moment-form while_loop path compiles fast and always
+    #   completes, so a defensible number lands within the first child even
+    #   if the tunnel later flakes (in round 3 the pallas+skip child burned
+    #   its whole budget failing warmups before xla ever ran)
+    # - pallas + skip: megakernel with spatial tile skipping — fastest on a
+    #   healthy runtime, but dies on the axon tunnel's re-dispatch bug with
+    #   data-dependent skip predicates (PERF_NOTES.md)
     # - pallas / pallas_iter with CVO_SLAM_TILE_SKIP=0: bitwise-equal
     #   results, static tile predicates — immune to the runtime bug
-    # - xla last as the always-works floor so a Pallas regression can never
-    #   zero the benchmark again
-    for backend, skip in (("pallas", "1"), ("pallas", "0"),
-                          ("pallas_iter", "0"), ("xla", "1")):
+    # All configs run; the best salvaged fps wins.
+    for backend, skip in (("xla", "1"), ("pallas", "1"),
+                          ("pallas", "0"), ("pallas_iter", "0")):
         env = dict(os.environ, CVO_BENCH_CHILD="1", PYTHONUNBUFFERED="1",
                    CVO_SLAM_BACKEND=backend, CVO_SLAM_TILE_SKIP=skip)
         try:
@@ -187,9 +190,6 @@ def main():
                     results.append(json.loads(line))
         except subprocess.TimeoutExpired:
             log(f"backend={backend}: timed out (tunnel compile hang)")
-        if results and results[-1].get("frames_measured", 0) >= 25 \
-                and results[-1]["value"] >= 30.0:
-            break   # healthy real-time measurement; stop early
     if results:
         best = max(results, key=lambda r: r["value"])
         print(json.dumps(best), flush=True)

@@ -111,8 +111,23 @@ def run(folder: str, association: str, cam_name, cfg: SlamConfig,
         tracker.write_slam_trajectory_and_loop_closure(
             os.path.join(folder, "SLAM_trajectory.txt"),
             os.path.join(folder, "loop_closure.txt"))
-    return dict(frames=len(records), wall_s=wall,
-                fps=len(records) / wall if wall > 0 else 0.0)
+    stats = dict(frames=len(records), wall_s=wall,
+                 fps=len(records) / wall if wall > 0 else 0.0)
+    # keyframe-path cost breakdown (ms per keyframe, mean/max per stage):
+    # the per-frame tracking bench does not cover insert/LC/BA work
+    graph = tracker.graph
+    stage_rows = getattr(graph, "stage_ms", None) or \
+        getattr(getattr(graph, "inner", None), "stage_ms", None)
+    if stage_rows:
+        keys = sorted({k for row in stage_rows for k in row})
+        stats["keyframe_path_ms"] = {
+            k: dict(mean=round(sum(r.get(k, 0.0) for r in stage_rows)
+                               / len(stage_rows), 2),
+                    max=round(max(r.get(k, 0.0) for r in stage_rows), 2),
+                    n=sum(1 for r in stage_rows if k in r))
+            for k in keys}
+        stats["keyframes"] = len(stage_rows)
+    return stats
 
 
 def main(argv=None):

@@ -79,6 +79,11 @@ class KeyframeGraph:
         self.last_to_current: Optional[TrackingResult] = None
         self.log = log or (lambda s: None)
         self.map_points = {}   # landmark id -> Mappoint (feature layer)
+        # per-keyframe backend stage costs in ms (insert incl. local-map
+        # optimize / loop detection incl. RANSAC + CVO verify / windowed BA /
+        # final BA) — the keyframe-path throughput evidence the tracking
+        # bench does not cover
+        self.stage_ms: List[dict] = []
 
     # -- public API (keyframe_graph.cpp:149-162, 2144-2160)
     def add(self, local_map: LocalMap):
@@ -92,7 +97,18 @@ class KeyframeGraph:
 
     # -- newKeyframe (keyframe_graph.cpp:242-362)
     def _new_keyframe(self, m: LocalMap):
-        keyframe = self._insert_new_keyframe(m)
+        import time
+        stage = {}
+        self.stage_ms.append(stage)
+
+        def timed(key, fn, *a):
+            t0 = time.perf_counter()
+            out = fn(*a)
+            stage[key] = stage.get(key, 0.0) \
+                + (time.perf_counter() - t0) * 1e3
+            return out
+
+        keyframe = timed("insert", self._insert_new_keyframe, m)
 
         if len(self._keyframes) <= 2:
             self.current_kf_dist += m.get_frame_number()
@@ -106,22 +122,25 @@ class KeyframeGraph:
 
         farthest = keyframe.id
         if self.loop_detector is not None:
-            new_lc, farthest = self.loop_detector(self, keyframe)
+            new_lc, farthest = timed("loop_detect", self.loop_detector,
+                                     self, keyframe)
             self.lc_num += new_lc
             self.log(f"Number of loop closure constraints: {self.lc_num}")
         if self.windowed_ba is not None:
-            self.windowed_ba(self, keyframe, farthest)
+            timed("windowed_ba", self.windowed_ba, self, keyframe, farthest)
 
         if m.last_map:
-            kf_last = self._insert_last_keyframe(m)
+            kf_last = timed("insert", self._insert_last_keyframe, m)
             farthest = kf_last.id
             if self.loop_detector is not None:
-                new_lc, farthest = self.loop_detector(self, kf_last)
+                new_lc, farthest = timed("loop_detect", self.loop_detector,
+                                         self, kf_last)
                 self.lc_num += new_lc
             if self.windowed_ba is not None:
-                self.windowed_ba(self, kf_last, farthest)
+                timed("windowed_ba", self.windowed_ba, self, kf_last,
+                      farthest)
             self.log("Final bundle adjustment start")
-            self.bundle_adjustment_all_keyframes()
+            timed("final_ba", self.bundle_adjustment_all_keyframes)
             self.log("Final bundle adjustment end")
 
     # -- insertNewKeyframe (keyframe_graph.cpp:1742-1798)

@@ -141,8 +141,11 @@ def align(fixed: PointCloud, moving: PointCloud, R0, T0, ell0,
         # the color kernel + gate depend only on features/masks — invariant
         # across align iterations (only positions transform, cvo.cpp:336).
         # Compute once, carry as a loop constant: the per-iteration pairwise
-        # work drops to the geometric half.
+        # work drops to the geometric half. Likewise the fixed cloud never
+        # moves, so its centered moment basis (35 monomials, used by the
+        # fused moment-form flow+step pass) is a loop constant too.
         ck_gated = pairwise.color_kernel_gated(fx, fy, mx, my, p)
+        center, U = pairwise.step_moment_basis(x, mx)
 
     def body(carry):
         k, R, T, ell, done, iters, nnz = carry
@@ -156,9 +159,11 @@ def align(fixed: PointCloud, moving: PointCloud, R0, T0, ell0,
             omega, v, nnz_k, B, C, D, E = pk.flow_and_step(
                 x, y, fx, fy, mx, my, ell, p)
         else:
-            omega, v, A, nnz_k = pairwise.flow_from_color(x, y, ck_gated,
-                                                          ell, p)
-            B, C, D, E = pairwise.step_coeffs(x, y, A, omega, v, ell)
+            # fused moment-form pass: flow + all four step coefficients from
+            # ONE A^T @ U matmul (pairwise.flow_and_step_moments) — no per-
+            # pair (N,M) temporaries beyond the kernel matrix A itself
+            omega, v, nnz_k, B, C, D, E = pairwise.flow_and_step_moments(
+                x, y, ck_gated, U, center, ell, p)
         step = cubic.min_positive_root_or(4.0 * E, 3.0 * D, 2.0 * C, B,
                                           p.min_step, p.max_step)
         # NOTE: every state update is gated on `active = ~done` so that under
@@ -208,9 +213,14 @@ def align(fixed: PointCloud, moving: PointCloud, R0, T0, ell0,
 
 def hessian_postprocess(H_raw, inliers, p: CvoParams):
     """Scale by -1/1e5 then iteratively shift the spectrum until
-    min |eigenvalue| >= 1 (cvo.cpp:726-754); identity when no inliers."""
+    min |eigenvalue| >= 1 (cvo.cpp:726-754); identity when no inliers.
+
+    Eigenvalues come from the fixed-sweep Jacobi solver (ops.jacobi): XLA's
+    generic eigvalsh costs ~1.3 ms of serial latency on TPU for one 6x6 and
+    dominated the fused innerproduct dispatch."""
+    from ..ops.jacobi import eigvalsh_jacobi
     H = H_raw * p.hessian_scale
-    lam = jnp.linalg.eigvalsh(H)
+    lam = eigvalsh_jacobi(H)
 
     def body(carry):
         lam, total = carry

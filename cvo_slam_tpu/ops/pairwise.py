@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from functools import lru_cache
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -192,8 +193,154 @@ def step_coeffs(x, y, A, omega, v, ell):
 
 
 # ---------------------------------------------------------------------------
-# function_inner_product (cvo.cpp:388-459)
+# fused flow + step coefficients in moment form (the XLA hot path)
 # ---------------------------------------------------------------------------
+# Per-pair, every step-size Taylor factor is affine in x_i (cvo.cpp:282-306):
+#   beta  = b0_j + b_j . x_i,   gamma = g0_j + g_j . x_i,   etc.
+# so each of B, C, D, E = sum_ij A_ij P(x_i; j) with P of degree <= 4 in x_i,
+# i.e. a linear functional of the 35 moments  Mom_j = sum_i A_ij xt_i^alpha
+# (xt = x - centroid, |alpha| <= 4) — ONE (M,N)x(N,35) matmul. The flow
+# reduction (omega, v) falls out of the degree-<=1 columns of the same
+# matmul. Compared to the per-pair formulation this removes every (N,M)
+# temporary except A itself (the old path materialized 8+: four x @ xi{k}z^T
+# products and the beta/gamma/delta/epsil combinations), cutting the
+# HBM-bound per-iteration cost of the align loop by ~2-3x.
+#
+# Centering x around its masked centroid keeps the expansion conditioned:
+# the monomial contributions cancel down to locally-small per-pair values
+# (|x_i - y_j| <= gate radius ~ 2.6 ell), so the amplification is
+# (scene_extent / gate_radius)^degree from a ~1-2 m extent rather than from
+# a ~3-4 m camera-frame offset. Accuracy vs the f64 per-pair golden is
+# verified across the full ell anneal schedule in tests/test_pairwise.py.
+
+# all monomial index tuples over {0,1,2} with degree <= 4, grouped by degree
+_MONOMIALS = [()]
+_MONOMIALS += [(i,) for i in range(3)]
+_MONOMIALS += [(i, j) for i in range(3) for j in range(i, 3)]
+_MONOMIALS += [(i, j, k) for i in range(3) for j in range(i, 3)
+               for k in range(j, 3)]
+_MONOMIALS += [(i, j, k, l) for i in range(3) for j in range(i, 3)
+               for k in range(j, 3) for l in range(k, 3)]
+_MONO_INDEX = {m: i for i, m in enumerate(_MONOMIALS)}
+assert len(_MONOMIALS) == 35
+
+
+def step_moment_basis(x, mask):
+    """Precompute (centroid, U) for flow_and_step_moments.
+
+    U is (N, 35): all monomials of xt = x - centroid up to degree 4. x is
+    the FIXED cloud of an alignment — it never changes across iterations
+    (only the moving cloud transforms, cvo.cpp:336-341) — so this is
+    evaluated once per align and carried as a loop constant."""
+    w = mask.astype(x.dtype)
+    c = jnp.sum(x * w[:, None], axis=0) / jnp.maximum(jnp.sum(w), 1.0)
+    xt = x - c
+    cols = [jnp.ones(x.shape[0], x.dtype)]
+    for mono in _MONOMIALS[1:]:
+        col = xt[:, mono[0]]
+        for idx in mono[1:]:
+            col = col * xt[:, idx]
+        cols.append(col)
+    return c, jnp.stack(cols, axis=1)
+
+
+def _poly_mul(p1, p2):
+    """Multiply polynomials-in-xt with (M,)-array coefficients, keyed by
+    sorted monomial index tuples."""
+    out = {}
+    for k1, v1 in p1.items():
+        for k2, v2 in p2.items():
+            k = tuple(sorted(k1 + k2))
+            out[k] = out.get(k, 0.0) + v1 * v2
+    return out
+
+
+def _poly_addmul(acc, poly, scale=1.0):
+    for k, v in poly.items():
+        acc[k] = acc.get(k, 0.0) + scale * v
+    return acc
+
+
+def _affine(const, vec):
+    """Affine per-j polynomial const_j + vec_j . xt: {(): (M,), (i,): (M,)}."""
+    return {(): const, (0,): vec[:, 0], (1,): vec[:, 1], (2,): vec[:, 2]}
+
+
+def flow_and_step_moments(x, y, ckg, U, center, ell, p: CvoParams):
+    """Fused compute_flow + compute_step_size coefficients (cvo.cpp:187-334)
+    via the moment form. Returns (omega, v, nnz, B, C, D, E) — identical
+    semantics to flow_from_color + step_coeffs, reorganized so the only
+    (N, M)-sized values are the kernel matrix A and its two dot-products.
+
+    x/U/center come from the fixed cloud (step_moment_basis); y is the
+    transformed moving cloud of the current iteration; ckg the precomputed
+    gated color kernel (color_kernel_gated)."""
+    A, keep = cvo_kernel_from_color(x, y, ckg, ell, p)
+    # Mom[j, a] = sum_i A_ij xt_i^alpha  — one (M,N)x(N,35) matmul
+    Mom = jax.lax.dot_general(A, U, (((0,), (0,)), ((), ())),
+                              precision=jax.lax.Precision.HIGHEST)
+    nnz = jnp.sum(keep)
+
+    # ---- flow (cvo.cpp:222-223) from the degree-<=1 columns -------------
+    M0 = Mom[:, 0]
+    M1 = Mom[:, 1:4]
+    dy = y - center
+    # D_j = sum_i A_ij (x_i - y_j): locally small (gate radius ~2.6 ell)
+    Dj = M1 - dy * M0[:, None]
+    # v = (1/d) sum_ij A (y_j - x_i) = -(1/d) sum_j D_j
+    v = -jnp.sum(Dj, axis=0) / p.d
+    # omega: x_i x y_j = (x_i - y_j) x y_j, so sum_ij A (x x y) = sum_j D_j x y_j
+    omega = jnp.sum(jnp.cross(Dj, y), axis=0) / p.c
+
+    # ---- step coefficients (cvo.cpp:239-315) ----------------------------
+    oh = jnp.zeros((3, 3), A.dtype)
+    oh = oh.at[0, 1].set(-omega[2]).at[0, 2].set(omega[1])
+    oh = oh.at[1, 0].set(omega[2]).at[1, 2].set(-omega[0])
+    oh = oh.at[2, 0].set(-omega[1]).at[2, 1].set(omega[0])
+    oh2 = oh @ oh
+    oh3 = oh2 @ oh
+    oh4 = oh3 @ oh
+    xiz = y @ oh.T + v[None, :]
+    xi2z = y @ oh2.T + (oh @ v)[None, :]
+    xi3z = y @ oh3.T + (oh2 @ v)[None, :]
+    xi4z = y @ oh4.T + (oh3 @ v)[None, :]
+
+    tc = 1.0 / (2.0 * ell * ell)
+    two_tc = 2.0 * tc
+
+    def ddot(u):
+        return jnp.sum(u * dy, axis=1)          # u_j . (y_j - center)
+
+    normxiz2 = jnp.sum(xiz * xiz, axis=1)
+    xiz_dot_xi2z = jnp.sum(xiz * xi2z, axis=1)
+    epsil_const = jnp.sum(xi2z * xi2z, axis=1) + 2.0 * jnp.sum(xiz * xi3z,
+                                                               axis=1)
+    # beta  = -2tc xiz.(x - y)  = (2tc xiz.dy) + (-2tc xiz).xt
+    beta = _affine(two_tc * ddot(xiz), -two_tc * xiz)
+    gamma = _affine(-tc * normxiz2 + two_tc * ddot(xi2z), -two_tc * xi2z)
+    delta = _affine(-two_tc * xiz_dot_xi2z + two_tc * ddot(xi3z),
+                    -two_tc * xi3z)
+    epsil = _affine(-tc * epsil_const + two_tc * ddot(xi4z), -two_tc * xi4z)
+
+    b2 = _poly_mul(beta, beta)
+    bg = _poly_mul(beta, gamma)
+    # PB = beta;  PC = gamma + beta^2/2;  PD = delta + beta*gamma + beta^3/6
+    # PE = epsil + beta*delta + beta^2 gamma/2 + gamma^2/2 + beta^4/24
+    PB = dict(beta)
+    PC = _poly_addmul(dict(gamma), b2, 0.5)
+    PD = _poly_addmul(_poly_addmul(dict(delta), bg),
+                      _poly_mul(b2, beta), 1.0 / 6.0)
+    PE = _poly_addmul(_poly_addmul(dict(epsil), _poly_mul(beta, delta)),
+                      _poly_mul(b2, gamma), 0.5)
+    PE = _poly_addmul(PE, _poly_mul(gamma, gamma), 0.5)
+    PE = _poly_addmul(PE, _poly_mul(b2, b2), 1.0 / 24.0)
+
+    def contract(poly):
+        return sum(jnp.vdot(coef, Mom[:, _MONO_INDEX[k]])
+                   for k, coef in poly.items())
+
+    return omega, v, nnz, contract(PB), contract(PC), contract(PD), \
+        contract(PE)
 
 def inner_product(xa, fa, ma, xb, fb, mb, ell, p: CvoParams):
     """RKHS inner product <f_a, f_b>: sum of joint kernel values over pairs

@@ -137,6 +137,43 @@ def test_step_coeffs_match_brute():
         np.testing.assert_allclose(float(got), want, rtol=2e-3, atol=1e-5)
 
 
+@pytest.mark.parametrize("ell", [0.15, 0.10, 0.06, 0.03])
+def test_flow_and_step_moments_match_pairs(ell):
+    """The fused moment-form pass (one A^T @ U matmul) must agree with the
+    per-pair formulation across the whole anneal schedule, on clouds sitting
+    ~3 m from the camera origin (the realistic worst case for the centered
+    monomial expansion's conditioning)."""
+    x, fx, mx, y, fy, my = make_clouds(11, 180, 170, cap=200)
+    # push the clouds away from the origin like a real camera frame
+    off = np.array([0.8, -0.5, 3.0], np.float32)
+    x = np.where(mx[:, None], x + off, x)
+    y = np.where(my[:, None], y + off, y)
+    xj, yj = jnp.asarray(x), jnp.asarray(y)
+    fxj, fyj = jnp.asarray(fx), jnp.asarray(fy)
+    mxj, myj = jnp.asarray(mx), jnp.asarray(my)
+    elj = jnp.float32(ell)
+
+    omega_r, v_r, A_r, nnz_r = pairwise.flow(xj, yj, fxj, fyj, mxj, myj,
+                                             elj, P)
+    B_r, C_r, D_r, E_r = pairwise.step_coeffs(xj, yj, A_r, omega_r, v_r, elj)
+
+    ckg = pairwise.color_kernel_gated(fxj, fyj, mxj, myj, P)
+    center, U = pairwise.step_moment_basis(xj, mxj)
+    omega, v, nnz, B, C, D, E = pairwise.flow_and_step_moments(
+        xj, yj, ckg, U, center, elj, P)
+
+    assert int(nnz) == int(nnz_r)
+    sc = float(jnp.linalg.norm(omega_r)) + 1e-12
+    np.testing.assert_allclose(np.asarray(omega), np.asarray(omega_r),
+                               rtol=0, atol=2e-4 * sc + 1e-9)
+    sv = float(jnp.linalg.norm(v_r)) + 1e-12
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_r),
+                               rtol=0, atol=2e-4 * sv + 1e-9)
+    for got, want in ((B, B_r), (C, C_r), (D, D_r), (E, E_r)):
+        np.testing.assert_allclose(float(got), float(want), rtol=5e-3,
+                                   atol=1e-6)
+
+
 def test_inner_product_matches_brute():
     ell = 0.15
     x, fx, mx, y, fy, my = make_clouds(4, 25, 27)

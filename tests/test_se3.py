@@ -127,3 +127,37 @@ def test_adjoint():
     rhs = np.asarray(se3.log_se3(jnp.asarray(
         T @ expm(hat4(small)) @ np.linalg.inv(T), jnp.float32)))
     np.testing.assert_allclose(lhs, rhs, atol=1e-6)
+
+
+def test_jacobi_eigvalsh():
+    """Fixed-sweep Jacobi (ops.jacobi) must match numpy eigvalsh on 6x6
+    symmetric matrices — including near-degenerate, indefinite, and badly
+    scaled spectra (the CVO Hessian after the -1/1e5 scaling is indefinite
+    with eigenvalues spanning several decades)."""
+    from cvo_slam_tpu.ops.jacobi import eigvalsh_jacobi
+    rng = np.random.default_rng(0)
+    cases = []
+    for _ in range(20):
+        A = rng.normal(0, 1, (6, 6))
+        cases.append(A + A.T)
+    # near-degenerate / scaled spectra
+    for spec in ([1, 1, 1 + 1e-5, -1, -1e-4, 1e3],
+                 [0, 0, 0, 1, 2, 3],
+                 [-5e4, -2, -1e-3, 1e-3, 2, 5e4]):
+        Q, _ = np.linalg.qr(rng.normal(0, 1, (6, 6)))
+        cases.append(Q @ np.diag(spec) @ Q.T)
+    for A in cases:
+        want = np.sort(np.linalg.eigvalsh(A))
+        got = np.sort(np.asarray(eigvalsh_jacobi(jnp.asarray(A, jnp.float32))))
+        scale = max(np.abs(want).max(), 1.0)
+        np.testing.assert_allclose(got, want, atol=3e-5 * scale, rtol=2e-5)
+
+    # vmapped batch
+    import jax
+    batch = np.stack(cases[:8]).astype(np.float32)
+    got = np.asarray(jax.vmap(eigvalsh_jacobi)(jnp.asarray(batch)))
+    for k in range(8):
+        want = np.sort(np.linalg.eigvalsh(batch[k].astype(np.float64)))
+        np.testing.assert_allclose(np.sort(got[k]), want,
+                                   atol=3e-5 * max(np.abs(want).max(), 1.0),
+                                   rtol=2e-5)
