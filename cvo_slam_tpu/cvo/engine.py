@@ -314,6 +314,39 @@ def align_and_innerproduct(fixed: PointCloud, moving: PointCloud, R0, T0,
 
 
 @partial(jax.jit, static_argnames=("p", "backend"))
+def frame_step(prev: PointCloud, kf: PointCloud, cur: PointCloud,
+               R_odo0, T_odo0, ell_odo0, kf_transform, ell_kf0,
+               p: CvoParams, backend: str = "xla"):
+    """The ENTIRE device work of one tracked frame in ONE dispatch:
+
+      1. odometry align + innerproduct (prev -> cur),
+      2. the keyframe warm start on device (reset_initial, cvo.cpp:611-618:
+         R,T <- (kf_transform @ T_odo)^-1, here the closed-form rigid inverse
+         [R^T | -R^T t] instead of a general 4x4 inverse),
+      3. keyframe align + innerproduct (kf -> cur).
+
+    local_tracker.cpp issues these as four calls with host logic between;
+    fusing them means one dispatch and one blocking transfer per frame —
+    the host round-trip costs ~28 ms through this container's TPU tunnel
+    (PERF_NOTES.md), so the fusion removes a full round-trip per frame.
+
+    The only semantic delta vs the host-sequenced path: the warm-start
+    product/inverse is computed in f32 on device instead of f64 on host
+    (~1e-7 perturbation of an initial guess that align then iterates on).
+
+    Returns (res_odo, ip_odo, res_kf, ip_kf, guess)."""
+    res1 = align(prev, cur, R_odo0, T_odo0, ell_odo0, p, backend)
+    ip1 = compute_innerproduct(prev, cur, res1.transform, res1.ell, p,
+                               backend)
+    guess = jnp.asarray(kf_transform, jnp.float32) @ res1.transform
+    Rk0 = guess[:3, :3].T
+    Tk0 = -(Rk0 @ guess[:3, 3])
+    res2 = align(kf, cur, Rk0, Tk0, ell_kf0, p, backend)
+    ip2 = compute_innerproduct(kf, cur, res2.transform, res2.ell, p, backend)
+    return res1, ip1, res2, ip2, guess
+
+
+@partial(jax.jit, static_argnames=("p", "backend"))
 def compute_innerproduct_lc(fixed: PointCloud, moving: PointCloud,
                             prior_tran, lc_prior_tran, lc_prior_tran_2,
                             lc_tran, ell, p: CvoParams, backend: str = "xla"):

@@ -59,6 +59,14 @@ def _batched_align_ip(fixed, moving, R0, T0, ell0, p, backend):
         fixed, moving, R0, T0, ell0)
 
 
+@partial(jax.jit, static_argnames=("p", "backend"))
+def _batched_frame(prev, kf, cur, R0, T0, ell_odo, kf_tr, ell_kf, p, backend):
+    backend = _batch_backend(backend)
+    return jax.vmap(lambda pr, k, c, R, T, eo, kt, ek:
+                    engine.frame_step(pr, k, c, R, T, eo, kt, ek, p, backend))(
+        prev, kf, cur, R0, T0, ell_odo, kf_tr, ell_kf)
+
+
 def _stack(clouds: List[engine.PointCloud]) -> engine.PointCloud:
     return engine.PointCloud(
         jnp.stack([c.positions for c in clouds]),
@@ -114,6 +122,40 @@ class _BatchExecutor:
             tr = cvo._apply_align(R[j], T[j], transform[j], ell[j], iters[j],
                                   nnz[j])
             out.append((tr, {k: v[j] for k, v in ip_host.items()}))
+        return out
+
+    def run_frame(self, reqs):
+        """reqs: [("frame", odo_cvo, kf_cvo, cloud, pixels), ...] ->
+        [(T_odo, ip_odo, T_kf, ip_kf), ...] — the whole frame for every
+        sequence in ONE batched dispatch (engine.frame_step under vmap)."""
+        odos, kfcs = [], []
+        for _, odo, kfc, cloud, pixels in reqs:
+            ready = odo.set_pcd(cloud, pixels)
+            assert ready, "cvo not initialized"
+            ready = kfc.set_pcd(cloud, pixels)
+            assert ready, "cvo not initialized"
+            odos.append(odo)
+            kfcs.append(kfc)
+        prev = _stack([c.fixed for c in odos])
+        kf = _stack([c.fixed for c in kfcs])
+        cur = _stack([c.moving for c in odos])
+        R0 = jnp.asarray(np.stack([c.R for c in odos]))
+        T0 = jnp.asarray(np.stack([c.T for c in odos]))
+        ell_o = jnp.asarray(np.array([c.ell for c in odos], np.float32))
+        ktr = jnp.asarray(np.stack([c.transform for c in kfcs]
+                                   ).astype(np.float32))
+        ell_k = jnp.asarray(np.array([c.ell for c in kfcs], np.float32))
+        res1, ip1, res2, ip2, _ = _batched_frame(
+            prev, kf, cur, R0, T0, ell_o, ktr, ell_k, self.params,
+            self.backend)
+        h1, hip1, h2, hip2 = jax.device_get(
+            (tuple(res1), ip1, tuple(res2), ip2))
+        out = []
+        for j, (odo, kfc) in enumerate(zip(odos, kfcs)):
+            T1 = odo._apply_align(*(a[j] for a in h1))
+            T2 = kfc._apply_align(*(a[j] for a in h2))
+            out.append((T1, {k: v[j] for k, v in hip1.items()},
+                        T2, {k: v[j] for k, v in hip2.items()}))
         return out
 
     def run_ip(self, reqs):
@@ -180,7 +222,8 @@ class MultiSequenceTracker:
             # batch every same-kind request currently pending; sequences at
             # a different phase (e.g. bootstrap) simply wait for their kind's
             # round — lockstep is the common case, mixed phases stay correct
-            for kind, runner in (("align_ip", self._exec.run_align_ip),
+            for kind, runner in (("frame", self._exec.run_frame),
+                                 ("align_ip", self._exec.run_align_ip),
                                  ("align", self._exec.run_align),
                                  ("ip", self._exec.run_ip)):
                 idxs = [i for i, r in enumerate(pending)

@@ -35,13 +35,36 @@ from .types import Keyframe, TrackingResult
 # (parallel.multi_sequence) drives N generators together and services
 # same-kind requests in ONE batched device dispatch. One state machine, two
 # execution modes.
+#   ("frame", odo_cvo, kf_cvo, cloud, pixels)
+#       -> (T_odo, ip_odo, T_kf, ip_kf)  [the whole frame: both set_pcds,
+#          odometry align+ip, device-side reset_initial warm start, keyframe
+#          align+ip — ONE dispatch, ONE blocking transfer (engine.frame_step)]
 #   ("align_ip", cvo, cloud, pixels) -> ((4,4) transform, ip dict)
 #                                       [set_pcd + fused align+innerproduct]
 #   ("align", cvo, cloud, pixels)    -> (4,4) transform  [set_pcd + align]
 #   ("ip", cvo, tran)                -> compute_innerproduct dict
 
+def _execute_frame(odo: Cvo, kfc: Cvo, cloud, pixels):
+    import jax
+    from ..cvo import engine
+    ready = odo.set_pcd(cloud, pixels)
+    assert ready, "cvo not initialized"
+    ready = kfc.set_pcd(cloud, pixels)
+    assert ready, "cvo not initialized"
+    res1, ip1, res2, ip2, _ = engine.frame_step(
+        odo.fixed, kfc.fixed, odo.moving, odo.R, odo.T,
+        np.float32(odo.ell), kfc.transform.astype(np.float32),
+        np.float32(kfc.ell), odo.params, odo.backend)
+    h1, hip1, h2, hip2 = jax.device_get((tuple(res1), ip1, tuple(res2), ip2))
+    T1 = odo._apply_align(*h1)
+    T2 = kfc._apply_align(*h2)
+    return T1, hip1, T2, hip2
+
+
 def execute_request(req):
     kind, cvo = req[0], req[1]
+    if kind == "frame":
+        return _execute_frame(req[1], req[2], req[3], req[4])
     if kind == "align_ip":
         ready = cvo.set_pcd(req[2], req[3])   # match_odometry (cvo.cpp:461-473)
         assert ready, "cvo not initialized"
@@ -156,15 +179,22 @@ class LocalTracker:
         cloud, pixels = self._make_cloud(image)
         transfers = 0   # blocking device->host transfers in the hot path
 
-        # consecutive tracking (fused align+innerproduct: 1 dispatch,
-        # 1 blocking transfer; the ip is redone solo in the rare case the
-        # NaN guard replaced the transform)
-        T_raw, ip = yield ("align_ip", self.cvo_odometry, cloud, pixels)
+        # the whole frame — odometry align+ip, device-side warm start
+        # (reset_initial), keyframe align+ip — in ONE dispatch with ONE
+        # blocking transfer (engine.frame_step). The rare NaN-repair paths
+        # below redo the affected pieces solo.
+        T_raw, ip, T_kraw, ip2 = yield ("frame", self.cvo_odometry,
+                                        self.cvo_keyframe, cloud, pixels)
         transfers += 1
         T_odo = self._nan_guard(T_raw, "odometry")
         if T_odo is not T_raw:
             ip = yield ("ip", self.cvo_odometry, T_odo.astype(np.float32))
-            transfers += 1
+            # the fused keyframe align warm-started from the bad odometry
+            # transform; redo it from the repaired one (this matches the
+            # host-sequenced order: guard first, then reset_initial + align)
+            self.cvo_keyframe.reset_initial(T_odo)
+            T_kraw, ip2 = yield ("align_ip", self.cvo_keyframe, cloud, pixels)
+            transfers += 2
         r_odometry = TrackingResult.from_innerproduct(T_odo, ip)
         self.metrics["odo_iters"] = self.cvo_odometry.iters
         self.metrics["odo_nnz"] = self.cvo_odometry.nnz
@@ -174,10 +204,6 @@ class LocalTracker:
         current_cloud, current_pixels = cloud, pixels
         self.cvo_odometry.update_fixed_pcd()
 
-        # keyframe-based tracking, warm-started (local_tracker.cpp:406-415)
-        self.cvo_keyframe.reset_initial(T_odo)
-        T_kraw, ip2 = yield ("align_ip", self.cvo_keyframe, cloud, pixels)
-        transfers += 1
         T_kf = self._nan_guard(T_kraw, "keyframe",
                                fallback=self._kf_prior(T_odo))
         if T_kf is not T_kraw:
