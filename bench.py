@@ -91,11 +91,19 @@ def _measure():
     sync = (lambda x: jax.block_until_ready(x)) if backend != "xla" \
         else (lambda x: x)
 
+    eye4 = jnp.eye(4)
+
     def frame_step(kf_cloud, prev_cloud, cur_cloud, ell):
         """Device work of one tracked frame, exactly as the tracker issues
-        it: 2 fused align+innerproduct dispatches (engine.align_and_
-        innerproduct — the hot path since the VERDICT r1 item-8 transfer
-        cut)."""
+        it: ONE fused dispatch (engine.frame_step — odometry align+ip,
+        device-side warm start, keyframe align+ip) for the xla backend; the
+        pallas backends keep the 2-dispatch split (the megakernel's tunnel
+        fence must interleave between alignments, engine._fence)."""
+        if backend == "xla":
+            r1, ip1, r2, ip2, _ = engine.frame_step(
+                prev_cloud, kf_cloud, cur_cloud, eye3, zero3, ell, eye4,
+                ell, p, backend)
+            return r1, ip1, r2, ip2
         r1, ip1 = sync(engine.align_and_innerproduct(
             prev_cloud, cur_cloud, eye3, zero3, ell, p, backend))
         r2, ip2 = sync(engine.align_and_innerproduct(
@@ -120,14 +128,34 @@ def _measure():
     # poisons the process after some number of dispatches ('TPU backend
     # error (InvalidArgument)', see PERF_NOTES.md). Time frames one by one
     # and salvage whatever completes; report the best per-frame time.
+    #
+    # xla: depth-1 pipelined schedule, mirroring the tracker's
+    # SpeculativeExecutor — frame i+1's program is dispatched BEFORE
+    # blocking on frame i, so the device computes ahead during the host
+    # sync round-trip; per-frame time = interval between blocking returns.
     times = []
     try:
-        for i in range(100):
-            a, b, c = clouds[i % 2], clouds[1 + i % 2], clouds[2 + i % 2]
-            t0 = time.perf_counter()
-            out = frame_step(a, b, c, ell)
-            jax.block_until_ready(out)
-            times.append(time.perf_counter() - t0)
+        if backend == "xla":
+            pending = None
+            t_prev = time.perf_counter()
+            for i in range(101):
+                fut = None
+                if i < 100:
+                    a, b, c = clouds[i % 2], clouds[1 + i % 2], clouds[2 + i % 2]
+                    fut = frame_step(a, b, c, ell)
+                if pending is not None:
+                    jax.block_until_ready(pending)
+                    t_now = time.perf_counter()
+                    times.append(t_now - t_prev)
+                    t_prev = t_now
+                pending = fut
+        else:
+            for i in range(100):
+                a, b, c = clouds[i % 2], clouds[1 + i % 2], clouds[2 + i % 2]
+                t0 = time.perf_counter()
+                out = frame_step(a, b, c, ell)
+                jax.block_until_ready(out)
+                times.append(time.perf_counter() - t0)
     except Exception as e:  # noqa: BLE001
         log(f"measurement stopped after {len(times)} frames: "
             f"{str(e).splitlines()[0]}")

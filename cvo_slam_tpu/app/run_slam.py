@@ -87,11 +87,19 @@ def run(folder: str, association: str, cam_name, cfg: SlamConfig,
     from ..data.prefetch import FramePrefetcher
     frames = FramePrefetcher(folder, records, cam, cfg.frontend)
     with open(traj_path, "w") as traj, open(metrics_path, "w") as mf:
-        for i, image in enumerate(frames):
+        it = iter(frames)
+        image = next(it, None)
+        i = -1
+        while image is not None:
+            i += 1
+            # one-frame lookahead: staging the next frame lets the tracker
+            # dispatch its device work speculatively before this frame's
+            # blocking readback (SpeculativeExecutor)
+            nxt = next(it, None)
             if i == len(records) - 1:
                 tracker.force_keyframe()
             t0 = time.perf_counter()
-            pose = tracker.update(image)
+            pose = tracker.update(image, next_frame=nxt)
             dt = time.perf_counter() - t0
             traj.write(tum.pose_to_tum_line(image.timestamp, pose) + "\n")
             lc_num = 0 if tracker.graph is None else tracker.graph.lc_num
@@ -102,6 +110,7 @@ def run(folder: str, association: str, cam_name, cfg: SlamConfig,
                    for k, v in tracker.lt.metrics.items()}}) + "\n")
             if verbose:
                 print(f"frame {i + 1}/{len(records)} {dt * 1e3:.1f} ms")
+            image = nxt
     wall = time.perf_counter() - t_start
     if profile_dir:
         import jax

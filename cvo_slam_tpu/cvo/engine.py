@@ -284,13 +284,12 @@ def compute_innerproduct(fixed: PointCloud, moving: PointCloud, tran, ell,
         # all four inner products + Hessian moments in ONE kernel launch
         (pre_v, pre_n, post_v, post_n, fixed_v, fixed_n, moving_v, moving_n,
          G, inliers) = pk.ip_suite(x, fx, mx, y, fy, my, yt, ell, p)
-        H_raw = pairwise.assemble_hessian(G, ell)
     else:
-        pre_v, pre_n = _ip(y, fy, my, x, fx, mx, ell, p, backend)
-        post_v, post_n = _ip(yt, fy, my, x, fx, mx, ell, p, backend)
-        fixed_v, fixed_n = _ip(x, fx, mx, x, fx, mx, ell, p, backend)
-        moving_v, moving_n = _ip(y, fy, my, y, fy, my, ell, p, backend)
-        H_raw, inliers = _hess_raw(yt, fy, my, x, fx, mx, ell, p, backend)
+        # fused XLA suite: shared feature matmul + shared post-gate products
+        # (the separate-call formulation issues ~2x the large kernels)
+        (pre_v, pre_n, post_v, post_n, fixed_v, fixed_n, moving_v, moving_n,
+         G, inliers) = pairwise.ip_suite(x, fx, mx, y, fy, my, yt, ell, p)
+    H_raw = pairwise.assemble_hessian(G, ell)
     cos_angle = post_v / (jnp.sqrt(fixed_v) * jnp.sqrt(moving_v))
     post_hessian = hessian_postprocess(H_raw, inliers, p)
     return dict(inn_pre=pre_v, inn_pre_num=pre_n, inn_post=post_v,
@@ -364,17 +363,24 @@ def compute_innerproduct_lc(fixed: PointCloud, moving: PointCloud,
     y_lcp2 = se3.transform_points(lc_prior_tran_2, y)
     y_lc = se3.transform_points(lc_tran, y)
 
-    prior_v, _ = _ip(y_prior, fy, my, x, fx, mx, ell, p, backend)
-    lcp_v, _ = _ip(y_lcp, fy, my, x, fx, mx, ell, p, backend)
-    pre_v, _ = _ip(y, fy, my, x, fx, mx, ell, p, backend)
-    post_v, _ = _ip(y_lc, fy, my, x, fx, mx, ell, p, backend)
-    fixed_v, _ = _ip(x, fx, mx, x, fx, mx, ell, p, backend)
-    moving_v, _ = _ip(y, fy, my, y, fy, my, ell, p, backend)
+    if backend.startswith("pallas"):
+        prior_v, _ = _ip(y_prior, fy, my, x, fx, mx, ell, p, backend)
+        lcp_v, _ = _ip(y_lcp, fy, my, x, fx, mx, ell, p, backend)
+        pre_v, _ = _ip(y, fy, my, x, fx, mx, ell, p, backend)
+        post_v, _ = _ip(y_lc, fy, my, x, fx, mx, ell, p, backend)
+        fixed_v, _ = _ip(x, fx, mx, x, fx, mx, ell, p, backend)
+        moving_v, _ = _ip(y, fy, my, y, fy, my, ell, p, backend)
+        H_raw, inliers_svd = _hess_raw(y_lc, fy, my, x, fx, mx, ell, p,
+                                       backend)
+        _, inliers_pnp = _hess_raw(y_lcp2, fy, my, x, fx, mx, ell, p, backend)
+    else:
+        # fused XLA suite with the feature matmul shared by all six pair sets
+        (prior_v, lcp_v, pre_v, post_v, fixed_v, moving_v, G, inliers_svd,
+         inliers_pnp) = pairwise.ip_suite_lc(x, fx, mx, y, fy, my, y_prior,
+                                             y_lcp, y_lcp2, y_lc, ell, p)
+        H_raw = pairwise.assemble_hessian(G, ell)
     cos_angle = post_v / (jnp.sqrt(fixed_v) * jnp.sqrt(moving_v))
-
-    H_raw, inliers_svd = _hess_raw(y_lc, fy, my, x, fx, mx, ell, p, backend)
     post_hessian = hessian_postprocess(H_raw, inliers_svd, p)
-    _, inliers_pnp = _hess_raw(y_lcp2, fy, my, x, fx, mx, ell, p, backend)
     return dict(inn_prior=prior_v, inn_lc_prior=lcp_v, inn_lc_pre=pre_v,
                 inn_lc_post=post_v, inn_fixed=fixed_v, inn_moving=moving_v,
                 cos_angle=cos_angle, post_hessian=post_hessian,

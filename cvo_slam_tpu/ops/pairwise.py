@@ -528,3 +528,135 @@ def se3_hessian_raw(xa, fa, ma, xb, fb, mb, ell, p: CvoParams):
     floor of cvo.cpp:726-754, which live in engine.hessian_postprocess)."""
     G, inliers = hessian_moments(xa, fa, ma, xb, fb, mb, ell, p)
     return assemble_hessian(G, ell), inliers
+
+
+# ---------------------------------------------------------------------------
+# fused inner-product suite (compute_innerproduct, cvo.cpp:475-503)
+# ---------------------------------------------------------------------------
+
+def _self_ip(x, f, m, ell, d2ct, p: CvoParams):
+    """inner_product(x, x) with the feature/geometry dots batched by the
+    caller-shared helpers; returns (value, num>=1)."""
+    d2 = _pairwise_sq_dists(x, x)
+    d2c = _pairwise_sq_dists(f, f)
+    gate = (d2 < d2_threshold(ell, p)) & (d2c < d2ct) & m[:, None] & m[None, :]
+    k = (p.sigma * p.sigma) * jnp.exp(
+        jnp.maximum(-d2 / (2.0 * ell * ell), -20.0))
+    ck = (p.c_sigma * p.c_sigma) * jnp.exp(
+        jnp.maximum(-d2c / (2.0 * p.c_ell * p.c_ell), -20.0))
+    value = jnp.sum(jnp.where(gate, ck * k, 0.0))
+    num = jnp.sum(gate).astype(value.dtype)
+    return value, jnp.where(num == 0, 1.0, num)
+
+
+def ip_suite(x, fx, mx, y, fy, my, yt, ell, p: CvoParams):
+    """Everything compute_innerproduct needs, with the shared pairwise
+    subexpressions computed ONCE (the separate-call formulation recomputes
+    the same feature matmul five times):
+
+      * fy @ fx^T serves the color distance of the pre AND post inner
+        products AND the Hessian pair weight cdot (cvo.cpp:652);
+      * the geometric distances of the post inner product and the Hessian
+        gate are the same d2(yt, x) matrix (cvo.cpp:485 vs :500).
+
+    Returns (pre_v, pre_n, post_v, post_n, fixed_v, fixed_n, moving_v,
+    moving_n, G, inliers) — the same tuple as the Pallas ip_suite kernel.
+    Semantics identical to four inner_product calls + hessian_moments:
+    same gates, same kernel formulas, same reduction structure.
+
+    The exponent clamp is exact for every gated pair (the gate thresholds
+    bound the joint exponent at ~-5, see _pair_mask_and_kernels)."""
+    d2t = d2_threshold(ell, p)
+    d2ct = jnp.float32(d2_color_threshold(p))
+    mpair = mx[None, :] & my[:, None]            # (M, N): rows moving
+    s2 = p.sigma * p.sigma
+    cs2 = p.c_sigma * p.c_sigma
+
+    # ---- shared feature products (one matmul serves pre/post/Hessian) ----
+    cdot = fy @ fx.T                              # (M, N)
+    fyy = jnp.sum(fy * fy, axis=-1)
+    fxx = jnp.sum(fx * fx, axis=-1)
+    d2c = jnp.maximum(fyy[:, None] + fxx[None, :] - 2.0 * cdot, 0.0)
+    cgate = (d2c < d2ct) & mpair
+    ck = cs2 * jnp.exp(jnp.maximum(-d2c / (2.0 * p.c_ell * p.c_ell), -20.0))
+
+    # ---- pre: moving vs fixed at the identity (cvo.cpp:481) --------------
+    d2_pre = _pairwise_sq_dists(y, x)
+    gate_pre = (d2_pre < d2t) & cgate
+    k_pre = s2 * jnp.exp(jnp.maximum(-d2_pre / (2.0 * ell * ell), -20.0))
+    pre_v = jnp.sum(jnp.where(gate_pre, ck * k_pre, 0.0))
+    pre_n = jnp.sum(gate_pre).astype(pre_v.dtype)
+    pre_n = jnp.where(pre_n == 0, 1.0, pre_n)
+
+    # ---- post: transformed moving vs fixed; the SAME d2/gate/k also feed
+    #      the Hessian (cvo.cpp:485 and :500 use identical pair sets) ------
+    d2_post = _pairwise_sq_dists(yt, x)
+    gate_post = (d2_post < d2t) & cgate
+    k_post = s2 * jnp.exp(jnp.maximum(-d2_post / (2.0 * ell * ell), -20.0))
+    post_v = jnp.sum(jnp.where(gate_post, ck * k_post, 0.0))
+    post_n = jnp.sum(gate_post).astype(post_v.dtype)
+    post_n = jnp.where(post_n == 0, 1.0, post_n)
+
+    # ---- self norms (cvo.cpp:488-489) ------------------------------------
+    fixed_v, fixed_n = _self_ip(x, fx, mx, ell, d2ct, p)
+    moving_v, moving_n = _self_ip(y, fy, my, ell, d2ct, p)
+
+    # ---- Hessian moments: weight w = k * (f_a . f_b) over the post gate --
+    W = jnp.where(gate_post, k_post * cdot, 0.0)
+    G = lift_u(yt).T @ (W @ lift_u(x))
+    inliers = jnp.sum(gate_post)
+    return (pre_v, pre_n, post_v, post_n, fixed_v, fixed_n,
+            moving_v, moving_n, G, inliers)
+
+
+def ip_suite_lc(x, fx, mx, y, fy, my, y_prior, y_lcp, y_lcp2, y_lc, ell,
+                p: CvoParams):
+    """Everything compute_innerproduct_lc needs (cvo.cpp:505-561): inner
+    products of the moving cloud under four transforms against the fixed
+    cloud, self norms, the Hessian moments for the CVO posterior (y_lc) and
+    the gated-pair count for the pnpransac prior (y_lcp2) — with the single
+    feature matmul shared by all six pair sets. Semantics identical to six
+    inner_product calls + two hessian_moments calls (the reference discards
+    the second Hessian and keeps only its inlier count, see
+    engine.compute_innerproduct_lc).
+
+    Returns (prior_v, lcp_v, pre_v, post_v, fixed_v, moving_v, G,
+    inliers_svd, inliers_pnp)."""
+    d2t = d2_threshold(ell, p)
+    d2ct = jnp.float32(d2_color_threshold(p))
+    mpair = mx[None, :] & my[:, None]
+    s2 = p.sigma * p.sigma
+    cs2 = p.c_sigma * p.c_sigma
+
+    cdot = fy @ fx.T
+    fyy = jnp.sum(fy * fy, axis=-1)
+    fxx = jnp.sum(fx * fx, axis=-1)
+    d2c = jnp.maximum(fyy[:, None] + fxx[None, :] - 2.0 * cdot, 0.0)
+    cgate = (d2c < d2ct) & mpair
+    ck = cs2 * jnp.exp(jnp.maximum(-d2c / (2.0 * p.c_ell * p.c_ell), -20.0))
+
+    def one(yk):
+        d2 = _pairwise_sq_dists(yk, x)
+        gate = (d2 < d2t) & cgate
+        k = s2 * jnp.exp(jnp.maximum(-d2 / (2.0 * ell * ell), -20.0))
+        return gate, k
+
+    gate_prior, k_prior = one(y_prior)
+    prior_v = jnp.sum(jnp.where(gate_prior, ck * k_prior, 0.0))
+    gate_lcp, k_lcp = one(y_lcp)
+    lcp_v = jnp.sum(jnp.where(gate_lcp, ck * k_lcp, 0.0))
+    gate_pre, k_pre = one(y)
+    pre_v = jnp.sum(jnp.where(gate_pre, ck * k_pre, 0.0))
+    gate_post, k_post = one(y_lc)
+    post_v = jnp.sum(jnp.where(gate_post, ck * k_post, 0.0))
+
+    fixed_v, _ = _self_ip(x, fx, mx, ell, d2ct, p)
+    moving_v, _ = _self_ip(y, fy, my, ell, d2ct, p)
+
+    W = jnp.where(gate_post, k_post * cdot, 0.0)
+    G = lift_u(y_lc).T @ (W @ lift_u(x))
+    inliers_svd = jnp.sum(gate_post)
+    gate_pnp, _ = one(y_lcp2)
+    inliers_pnp = jnp.sum(gate_pnp)
+    return (prior_v, lcp_v, pre_v, post_v, fixed_v, moving_v, G,
+            inliers_svd, inliers_pnp)

@@ -44,21 +44,115 @@ from .types import Keyframe, TrackingResult
 #   ("align", cvo, cloud, pixels)    -> (4,4) transform  [set_pcd + align]
 #   ("ip", cvo, tran)                -> compute_innerproduct dict
 
-def _execute_frame(odo: Cvo, kfc: Cvo, cloud, pixels):
+def _apply_frame(odo: Cvo, kfc: Cvo, fut):
+    """Block on a dispatched frame_step future tuple and write both Cvo
+    states back; returns the request result."""
     import jax
+    res1, ip1, res2, ip2, _ = fut
+    h1, hip1, h2, hip2 = jax.device_get((tuple(res1), ip1, tuple(res2), ip2))
+    T1 = odo._apply_align(*h1)
+    T2 = kfc._apply_align(*h2)
+    return T1, hip1, T2, hip2
+
+
+def _execute_frame(odo: Cvo, kfc: Cvo, cloud, pixels):
     from ..cvo import engine
     ready = odo.set_pcd(cloud, pixels)
     assert ready, "cvo not initialized"
     ready = kfc.set_pcd(cloud, pixels)
     assert ready, "cvo not initialized"
-    res1, ip1, res2, ip2, _ = engine.frame_step(
+    fut = engine.frame_step(
         odo.fixed, kfc.fixed, odo.moving, odo.R, odo.T,
         np.float32(odo.ell), kfc.transform.astype(np.float32),
         np.float32(kfc.ell), odo.params, odo.backend)
-    h1, hip1, h2, hip2 = jax.device_get((tuple(res1), ip1, tuple(res2), ip2))
-    T1 = odo._apply_align(*h1)
-    T2 = kfc._apply_align(*h2)
-    return T1, hip1, T2, hip2
+    return _apply_frame(odo, kfc, fut)
+
+
+class SpeculativeExecutor:
+    """Solo request executor with one-frame-ahead speculative dispatch.
+
+    The blocking device->host readback of a frame's results costs a full
+    round-trip (~5-28 ms through this container's TPU tunnel) during which
+    the device idles. This executor dispatches the NEXT frame's program
+    BEFORE blocking on the current one — chaining the odometry warm start,
+    both ells, and the keyframe transform as device futures, and assuming
+    the keyframe does not change (the accept case) — so the device crunches
+    frame i+1 while frame i's results fly to the host.
+
+    Exactness: the speculative program is the same compiled executable fed
+    the same values (the device futures ARE the values the host copies
+    later), so a VALID speculation is bitwise-identical to the re-dispatch
+    it replaces. Validity is checked against the actual request: same cloud
+    objects (previous / keyframe / current), odometry state and keyframe
+    state unchanged since the speculation (np.array_equal on the host
+    copies). ANY mismatch — keyframe rejection, NaN repair, forced map end,
+    bootstrap requests in between — discards the speculation and dispatches
+    the real inputs; the only cost of a wrong guess is wasted device time.
+
+    The next frame's cloud comes from LocalTracker.stage_next (fed by the
+    run loop / prefetcher one frame ahead)."""
+
+    def __init__(self, lt: "LocalTracker"):
+        self.lt = lt
+        self.spec = None
+
+    def __call__(self, req):
+        if req[0] != "frame":
+            # solo repair / bootstrap requests mutate cvo state the chain
+            # does not track — drop any pending speculation
+            self.spec = None
+            return execute_request(req)
+        return self._frame(req[1], req[2], req[3], req[4])
+
+    def _speculation_valid(self, odo: Cvo, kfc: Cvo, cloud) -> bool:
+        s = self.spec
+        return (s is not None
+                and s["prev"] is odo.fixed.positions
+                and s["kf"] is kfc.fixed.positions
+                and s["cur"] is cloud.positions
+                and np.array_equal(odo.R, s["odo_R"])
+                and np.array_equal(odo.T, s["odo_T"])
+                and odo.ell == s["odo_ell"]
+                and np.array_equal(kfc.transform, s["kf_transform"])
+                and kfc.ell == s["kf_ell"])
+
+    def _frame(self, odo: Cvo, kfc: Cvo, cloud, pixels):
+        from ..cvo import engine
+        use = self.spec if self._speculation_valid(odo, kfc, cloud) else None
+        self.spec = None
+        ready = odo.set_pcd(cloud, pixels)
+        assert ready, "cvo not initialized"
+        ready = kfc.set_pcd(cloud, pixels)
+        assert ready, "cvo not initialized"
+        if use is not None:
+            fut = use["fut"]
+        else:
+            fut = engine.frame_step(
+                odo.fixed, kfc.fixed, odo.moving, odo.R, odo.T,
+                np.float32(odo.ell), kfc.transform.astype(np.float32),
+                np.float32(kfc.ell), odo.params, odo.backend)
+        res1, _, res2, _, _ = fut
+
+        # speculate the next frame (accept-assumed) BEFORE blocking
+        nxt = self.lt.peek_staged(exclude=cloud)
+        if nxt is not None:
+            ncloud, _ = nxt
+            nfut = engine.frame_step(
+                cloud, kfc.fixed, ncloud, res1.R, res1.T, res1.ell,
+                res2.transform, res2.ell, odo.params, odo.backend)
+            self.spec = dict(fut=nfut, prev=cloud.positions,
+                             kf=kfc.fixed.positions, cur=ncloud.positions)
+
+        out = _apply_frame(odo, kfc, fut)
+        if self.spec is not None:
+            # record the host values the speculation's device inputs equal
+            # (they diverge only through rejection / NaN repair / forcing,
+            # all of which the validity check then catches)
+            self.spec.update(odo_R=odo.R.copy(), odo_T=odo.T.copy(),
+                             odo_ell=odo.ell,
+                             kf_transform=kfc.transform.copy(),
+                             kf_ell=kfc.ell)
+        return out
 
 
 def execute_request(req):
@@ -78,12 +172,12 @@ def execute_request(req):
     raise ValueError(f"unknown request kind {kind!r}")
 
 
-def drive(gen):
+def drive(gen, executor=execute_request):
     """Run a request generator to completion solo; returns its value."""
     try:
         req = next(gen)
         while True:
-            req = gen.send(execute_request(req))
+            req = gen.send(executor(req))
     except StopIteration as e:
         return e.value
 
@@ -108,14 +202,40 @@ class LocalTracker:
         self.map_complete_callbacks: List[Callable] = []
         self.log = log or (lambda s: None)
         self.metrics = {}
+        self.executor = SpeculativeExecutor(self)
+        self._staged = None   # (timestamp, cloud, pixels) for the NEXT frame
 
     # -- frontend: one cloud per frame, shared by both cvo instances
     def _make_cloud(self, image: ImagePair):
+        if self._staged is not None and self._staged[0] == image.timestamp:
+            _, cloud, pixels = self._staged
+            self._staged = None
+            return cloud, pixels
         pc = image.precomputed_cloud   # filled by data.prefetch (pipelined)
         if pc is None:
             pc = create_pointcloud(image.bgr, image.gray, image.depth,
                                    self.cam, self.cfg.frontend)
         return PointCloud.from_host(pc), pc.selected_pixels[:pc.count].copy()
+
+    # -- one-frame lookahead for the speculative executor -------------------
+    def stage_next(self, image: ImagePair):
+        """Stage the NEXT frame's cloud (called by the run loop one frame
+        ahead). Enables speculative frame dispatch; a run loop that never
+        stages simply runs unpipelined."""
+        if self._staged is not None and self._staged[0] == image.timestamp:
+            return
+        cloud, pixels = self._make_cloud(image)
+        self._staged = (image.timestamp, cloud, pixels)
+
+    def peek_staged(self, exclude: PointCloud = None):
+        """The staged next-frame (cloud, pixels), or None. `exclude` guards
+        against self-speculation when staging raced the current frame."""
+        if self._staged is None:
+            return None
+        _, cloud, pixels = self._staged
+        if exclude is not None and cloud.positions is exclude.positions:
+            return None
+        return cloud, pixels
 
     def _make_keyframe(self, image: ImagePair, pose: np.ndarray,
                        cloud: PointCloud, pixels: np.ndarray) -> Keyframe:
@@ -171,12 +291,17 @@ class LocalTracker:
             cb(self, self.local_map, r_odometry)
 
     # -- update (local_tracker.cpp:349-572)
-    def update(self, image: ImagePair) -> np.ndarray:
-        return drive(self.update_steps(image))
+    def update(self, image: ImagePair, next_frame: ImagePair = None
+               ) -> np.ndarray:
+        return drive(self.update_steps(image, next_frame), self.executor)
 
-    def update_steps(self, image: ImagePair):
+    def update_steps(self, image: ImagePair, next_frame: ImagePair = None):
         self.new_map = False
         cloud, pixels = self._make_cloud(image)
+        if next_frame is not None:
+            # stage AFTER consuming this frame's own staged entry so the
+            # speculative executor sees the upcoming frame's cloud
+            self.stage_next(next_frame)
         transfers = 0   # blocking device->host transfers in the hot path
 
         # the whole frame — odometry align+ip, device-side warm start

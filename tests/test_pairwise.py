@@ -267,3 +267,92 @@ def test_hessian_matches_brute(ell):
     np.testing.assert_allclose(np.asarray(H) / scale, H_ref / scale,
                                atol=5e-4)
     assert int(inl) == inl_ref
+
+
+# ---------------------------------------------------------------------------
+# fused suites vs the separate-call formulation (exact equivalence)
+# ---------------------------------------------------------------------------
+
+def _ip_sep(xa, fa, ma, xb, fb, mb, ell):
+    return pairwise.inner_product(jnp.asarray(xa), jnp.asarray(fa),
+                                  jnp.asarray(ma), jnp.asarray(xb),
+                                  jnp.asarray(fb), jnp.asarray(mb),
+                                  jnp.float32(ell), P)
+
+
+@pytest.mark.parametrize("ell", [0.15, 0.03])
+def test_ip_suite_matches_separate_calls(ell):
+    """pairwise.ip_suite shares the feature matmul and the post-gate products
+    across the four inner products + Hessian; results must equal the
+    separate-call formulation to f32 reduction noise."""
+    x, fx, mx, y, fy, my = make_clouds(11, 90, 80, cap=128)
+    tran = np.eye(4, dtype=np.float32)
+    tran[:3, 3] = [0.01, -0.02, 0.015]
+    yt = y @ tran[:3, :3].T + tran[:3, 3]
+
+    suite = pairwise.ip_suite(jnp.asarray(x), jnp.asarray(fx), jnp.asarray(mx),
+                              jnp.asarray(y), jnp.asarray(fy), jnp.asarray(my),
+                              jnp.asarray(yt), jnp.float32(ell), P)
+    (pre_v, pre_n, post_v, post_n, fixed_v, fixed_n, moving_v, moving_n,
+     G, inliers) = [np.asarray(s) for s in suite]
+
+    ref_pre = _ip_sep(y, fy, my, x, fx, mx, ell)
+    ref_post = _ip_sep(yt, fy, my, x, fx, mx, ell)
+    ref_fixed = _ip_sep(x, fx, mx, x, fx, mx, ell)
+    ref_moving = _ip_sep(y, fy, my, y, fy, my, ell)
+    for got, want in ((pre_v, ref_pre[0]), (post_v, ref_post[0]),
+                      (fixed_v, ref_fixed[0]), (moving_v, ref_moving[0])):
+        np.testing.assert_allclose(got, np.asarray(want), rtol=2e-6)
+    for got, want in ((pre_n, ref_pre[1]), (post_n, ref_post[1])):
+        assert int(got) == int(np.asarray(want))
+
+    G_ref, inl_ref = pairwise.hessian_moments(
+        jnp.asarray(yt), jnp.asarray(fy), jnp.asarray(my), jnp.asarray(x),
+        jnp.asarray(fx), jnp.asarray(mx), jnp.float32(ell), P)
+    assert int(inliers) == int(np.asarray(inl_ref))
+    np.testing.assert_allclose(G, np.asarray(G_ref), rtol=3e-6, atol=1e-8)
+
+
+def test_ip_suite_lc_matches_separate_calls():
+    """pairwise.ip_suite_lc vs six inner_product calls + two
+    hessian_moments calls."""
+    ell = 0.06
+    x, fx, mx, y, fy, my = make_clouds(12, 90, 80, cap=128)
+
+    def warp(tw):
+        from cvo_slam_tpu.ops import se3
+        T = np.asarray(se3.exp_se3(jnp.asarray(tw, jnp.float32)), np.float64)
+        return (y @ T[:3, :3].T + T[:3, 3]).astype(np.float32), T
+
+    y_prior, _ = warp([0.01, 0, 0.01, 0.02, 0, 0])
+    y_lcp, _ = warp([0, 0.01, 0, 0, 0.02, 0])
+    y_lcp2, _ = warp([0.005, 0.005, 0, 0.01, 0.01, 0])
+    y_lc, _ = warp([0.002, -0.001, 0.003, 0.005, -0.004, 0.006])
+
+    out = pairwise.ip_suite_lc(
+        jnp.asarray(x), jnp.asarray(fx), jnp.asarray(mx), jnp.asarray(y),
+        jnp.asarray(fy), jnp.asarray(my), jnp.asarray(y_prior),
+        jnp.asarray(y_lcp), jnp.asarray(y_lcp2), jnp.asarray(y_lc),
+        jnp.float32(ell), P)
+    (prior_v, lcp_v, pre_v, post_v, fixed_v, moving_v, G, inl_svd,
+     inl_pnp) = [np.asarray(s) for s in out]
+
+    for got, yk in ((prior_v, y_prior), (lcp_v, y_lcp), (pre_v, y),
+                    (post_v, y_lc)):
+        want, _ = _ip_sep(yk, fy, my, x, fx, mx, ell)
+        np.testing.assert_allclose(got, np.asarray(want), rtol=2e-6)
+    np.testing.assert_allclose(fixed_v,
+                               np.asarray(_ip_sep(x, fx, mx, x, fx, mx, ell)[0]),
+                               rtol=2e-6)
+    np.testing.assert_allclose(moving_v,
+                               np.asarray(_ip_sep(y, fy, my, y, fy, my, ell)[0]),
+                               rtol=2e-6)
+    G_ref, svd_ref = pairwise.hessian_moments(
+        jnp.asarray(y_lc), jnp.asarray(fy), jnp.asarray(my), jnp.asarray(x),
+        jnp.asarray(fx), jnp.asarray(mx), jnp.float32(ell), P)
+    _, pnp_ref = pairwise.hessian_moments(
+        jnp.asarray(y_lcp2), jnp.asarray(fy), jnp.asarray(my), jnp.asarray(x),
+        jnp.asarray(fx), jnp.asarray(mx), jnp.float32(ell), P)
+    assert int(inl_svd) == int(np.asarray(svd_ref))
+    assert int(inl_pnp) == int(np.asarray(pnp_ref))
+    np.testing.assert_allclose(G, np.asarray(G_ref), rtol=3e-6, atol=1e-8)
