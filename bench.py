@@ -163,8 +163,13 @@ def _measure():
         raise RuntimeError("no frame completed")
     k = max(3, len(times) // 2)
     best = sorted(times)[:k]
-    fps = 1.0 / (sum(best) / len(best))
-    log(f"{len(times)} frames measured; best-{k} mean -> {fps:.2f} fps")
+    ms_frame = sum(best) / len(best) * 1000.0
+    fps = 1000.0 / ms_frame
+    iters_frame = int(out[0].iters) + int(out[2].iters)
+    log(f"{len(times)} frames measured; best-{k} mean -> {fps:.2f} fps "
+        f"({ms_frame:.1f} ms/frame, {iters_frame} align iters "
+        f"-> <= {ms_frame / max(iters_frame, 1):.3f} ms/align-iter incl. "
+        f"the 2 innerproduct suites)")
 
     if backend == "xla":
         tile_skip = None      # tile skipping is a Pallas-only mechanism
@@ -179,6 +184,9 @@ def _measure():
         "backend": backend,
         "tile_skip": tile_skip,
         "frames_measured": len(times),
+        "ms_per_frame": round(ms_frame, 2),
+        "align_iters_per_frame": iters_frame,
+        "ms_per_align_iter_upper": round(ms_frame / max(iters_frame, 1), 4),
     }), flush=True)
 
 

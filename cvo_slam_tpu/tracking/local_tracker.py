@@ -95,6 +95,8 @@ class SpeculativeExecutor:
     def __init__(self, lt: "LocalTracker"):
         self.lt = lt
         self.spec = None
+        self.hits = 0      # speculations consumed
+        self.misses = 0    # frame requests dispatched for real
 
     def __call__(self, req):
         if req[0] != "frame":
@@ -126,7 +128,9 @@ class SpeculativeExecutor:
         assert ready, "cvo not initialized"
         if use is not None:
             fut = use["fut"]
+            self.hits += 1
         else:
+            self.misses += 1
             fut = engine.frame_step(
                 odo.fixed, kfc.fixed, odo.moving, odo.R, odo.T,
                 np.float32(odo.ell), kfc.transform.astype(np.float32),
@@ -334,7 +338,9 @@ class LocalTracker:
         if T_kf is not T_kraw:
             ip2 = yield ("ip", self.cvo_keyframe, T_kf.astype(np.float32))
             transfers += 1
-        self.metrics["hot_transfers"] = transfers   # 2 unless a NaN repair ran
+        self.metrics["hot_transfers"] = transfers   # 1 unless a NaN repair ran
+        self.metrics["spec_hits"] = self.executor.hits
+        self.metrics["spec_misses"] = self.executor.misses
         r_keyframe = TrackingResult.from_innerproduct(T_kf, ip2)
         r_keyframe.dis_to_keyframe = self.local_map.get_frame_number()
         self.metrics["kf_iters"] = self.cvo_keyframe.iters
