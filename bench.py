@@ -25,6 +25,8 @@ def log(*a):
 
 
 def _measure():
+    from cvo_slam_tpu.utils.compcache import enable_persistent_cache
+    enable_persistent_cache()
     import jax
     from cvo_slam_tpu.config import CAMERA_PRESETS, SlamConfig
     from cvo_slam_tpu.data.synthetic import _base_scene

@@ -34,6 +34,8 @@ from ..data import tum
 def run(folder: str, association: str, cam_name, cfg: SlamConfig,
         adaptive: bool = False, max_frames: int = 0, verbose: bool = False):
     import jax
+    from ..utils.compcache import enable_persistent_cache
+    enable_persistent_cache()
     from ..cvo import engine
     from ..cvo.adaptive import AdaptiveParams, adaptive_align
     from ..frontend.pointcloud import create_pointcloud

@@ -67,6 +67,8 @@ def run(folder: str, association: str, cam_name, cfg: SlamConfig,
         vocabulary_path: str = ""):
     """cam_name: a preset key (e.g. "TUM1") or a CameraConfig instance."""
     from ..config import CameraConfig
+    from ..utils.compcache import enable_persistent_cache
+    enable_persistent_cache()
     cam = (cam_name if isinstance(cam_name, CameraConfig)
            else CAMERA_PRESETS[cam_name])
     records = tum.load_association(os.path.join(folder, association))

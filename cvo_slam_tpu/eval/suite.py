@@ -197,8 +197,15 @@ def main(argv=None):
                     help="subset of sequences (default: all)")
     ap.add_argument("--results-md", default="",
                     help="also write a markdown report here")
+    ap.add_argument("--platform", default="",
+                    help="force a JAX platform (e.g. cpu). Needed because "
+                         "this image pre-imports jax, so JAX_PLATFORMS set "
+                         "in the shell is ignored")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
     payload = run_suite(args.out, args.scale, args.camera, args.seq,
                         verbose=args.verbose)
     if args.results_md:
