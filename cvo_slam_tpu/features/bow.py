@@ -28,10 +28,20 @@ _POPCOUNT = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
                           axis=1).sum(1).astype(np.uint8)
 
 
+def _popcount_sum(x: np.ndarray) -> np.ndarray:
+    """Sum of per-byte popcounts over the last axis (= Hamming distance of
+    packed descriptors). Native np.bitwise_count over a uint64 view is ~8x
+    the byte-LUT path; the LUT remains as the odd-length fallback."""
+    if x.shape[-1] % 8 == 0:
+        x64 = np.ascontiguousarray(x).view(np.uint64)
+        return np.bitwise_count(x64).sum(axis=-1).astype(np.int32)
+    return _POPCOUNT[x].sum(axis=-1).astype(np.int32)
+
+
 def hamming(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Pairwise Hamming distances between (Na,32) and (Nb,32) uint8."""
     x = np.bitwise_xor(a[:, None, :], b[None, :, :])
-    return _POPCOUNT[x].sum(axis=-1).astype(np.int32)
+    return _popcount_sum(x)
 
 
 def _majority_centroid(descs: np.ndarray) -> np.ndarray:
@@ -131,7 +141,7 @@ class Vocabulary:
                 break
             cd = node_desc[np.where(has, ch, 0)]
             x = np.bitwise_xor(cd, descs[:, None, :])
-            dist = _POPCOUNT[x].sum(axis=-1).astype(np.int32)
+            dist = _popcount_sum(x)
             dist = np.where(has, dist, 1 << 30)
             nxt = np.take_along_axis(ch, dist.argmin(axis=1)[:, None],
                                      axis=1)[:, 0]
@@ -191,7 +201,7 @@ class Vocabulary:
             # hamming to each child's centroid
             cd = node_desc[np.where(has, ch, 0)]      # (nd, kmax, 32)
             x = np.bitwise_xor(cd, descs[:, None, :])
-            dist = _POPCOUNT[x].sum(axis=-1).astype(np.int32)
+            dist = _popcount_sum(x)
             dist = np.where(has, dist, 1 << 30)
             nxt = np.take_along_axis(ch, dist.argmin(axis=1)[:, None],
                                      axis=1)[:, 0]

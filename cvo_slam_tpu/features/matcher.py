@@ -34,7 +34,7 @@ import numpy as np
 
 from ..config import CameraConfig, SlamConfig
 from ..tracking.types import Keyframe
-from .bow import _POPCOUNT
+from .bow import _popcount_sum
 
 TH_LOW = 50
 HISTO_LENGTH = 30
@@ -55,7 +55,7 @@ class Mappoint:
 
 def descriptor_distances(d1: np.ndarray, d2: np.ndarray) -> np.ndarray:
     x = np.bitwise_xor(d1[:, None, :], d2[None, :, :])
-    return _POPCOUNT[x].sum(axis=-1).astype(np.int32)
+    return _popcount_sum(x)
 
 
 def _three_maxima(hist_counts: np.ndarray) -> List[int]:
