@@ -97,6 +97,23 @@ class SpeculativeExecutor:
         self.spec = None
         self.hits = 0      # speculations consumed
         self.misses = 0    # frame requests dispatched for real
+        self._enabled = None
+
+    def _speculation_enabled(self) -> bool:
+        """Speculate only on accelerator backends: there the readback
+        round-trip it hides is real (~5-28 ms through a TPU tunnel), and a
+        wrong guess wastes only device time. On CPU the readback is free
+        and the wasted compute competes with the host pipeline, so it is
+        off unless CVO_SLAM_SPECULATE=1 forces it (tests do)."""
+        if self._enabled is None:
+            import os
+            env = os.environ.get("CVO_SLAM_SPECULATE", "")
+            if env in ("0", "1"):
+                self._enabled = env == "1"
+            else:
+                import jax
+                self._enabled = jax.default_backend() != "cpu"
+        return self._enabled
 
     def __call__(self, req):
         if req[0] != "frame":
@@ -138,7 +155,8 @@ class SpeculativeExecutor:
         res1, _, res2, _, _ = fut
 
         # speculate the next frame (accept-assumed) BEFORE blocking
-        nxt = self.lt.peek_staged(exclude=cloud)
+        nxt = self.lt.peek_staged(exclude=cloud) \
+            if self._speculation_enabled() else None
         if nxt is not None:
             ncloud, _ = nxt
             nfut = engine.frame_step(

@@ -104,12 +104,14 @@ def test_keyframe_policy_bounds_map_size(seq):
     assert tracker.lt.next_kf_id >= 3
 
 
-def test_speculative_executor_matches_unpipelined(seq):
+def test_speculative_executor_matches_unpipelined(seq, monkeypatch):
     """A run with one-frame lookahead (stage_next -> SpeculativeExecutor
     dispatching frame i+1 before frame i's readback) must match the
     unpipelined run pose-for-pose: a VALID speculation is the same compiled
     program fed the same values, and an invalid one is discarded."""
     from cvo_slam_tpu.app.run_slam import build_tracker
+    monkeypatch.setenv("CVO_SLAM_SPECULATE", "1")  # speculation is
+    # accelerator-default-only; force it on for this CPU equality test
     folder, gt = seq
     cfg = SlamConfig.default_shipped().replace(OnlyTracking=True,
                                                frontend=SMALL_FRONTEND)
