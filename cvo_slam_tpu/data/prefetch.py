@@ -15,7 +15,6 @@ Usage:
 
 from __future__ import annotations
 
-import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, List
 
