@@ -40,11 +40,20 @@ def default_backend() -> str:
 
     Override with CVO_SLAM_BACKEND=xla|pallas|pallas_iter ('pallas' = the
     whole-align megakernel, 'pallas_iter' = one fused launch per align
-    iteration with the loop in XLA)."""
+    iteration with the loop in XLA).
+
+    On an axon-tunneled TPU (JAX_PLATFORMS=axon) the default is 'xla': that
+    tunnel runtime deterministically fails re-dispatches of Pallas programs
+    with data-dependent pl.when predicates and poisons the process
+    (PERF_NOTES.md), and it penalizes in-kernel loops enough that the XLA
+    while_loop path measures faster there anyway. Real (directly attached)
+    TPUs keep the Pallas default."""
     import os
     env = os.environ.get("CVO_SLAM_BACKEND", "")
     if env in ("xla", "pallas", "pallas_iter"):
         return env
+    if "axon" in os.environ.get("JAX_PLATFORMS", ""):
+        return "xla"
     return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
