@@ -87,3 +87,17 @@ def test_reset_initial_and_transform_roundtrip():
     inv = np.linalg.inv(guess)
     np.testing.assert_allclose(c.R, inv[:3, :3], atol=1e-6)
     np.testing.assert_allclose(c.T, inv[:3, 3], atol=1e-6)
+
+
+def test_default_backend_selection(monkeypatch):
+    """Env override wins; the axon tunnel defaults to xla (its runtime
+    poisons Pallas re-dispatches, PERF_NOTES.md); plain CPU defaults to
+    xla."""
+    from cvo_slam_tpu.cvo.engine import default_backend
+    monkeypatch.setenv("CVO_SLAM_BACKEND", "pallas_iter")
+    assert default_backend() == "pallas_iter"
+    monkeypatch.delenv("CVO_SLAM_BACKEND", raising=False)
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    assert default_backend() == "xla"
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+    assert default_backend() == "xla"   # tests force the cpu platform
