@@ -131,7 +131,7 @@ class Vocabulary:
 
     def _word_nodes(self, descriptors: np.ndarray) -> np.ndarray:
         """Leaf (word) node id per descriptor — the transform descent only."""
-        child_arr, node_desc, _, _ = self._packed
+        child_arr, node_desc = self._packed[0], self._packed[1]
         descs = np.asarray(descriptors, np.uint8)
         cur = np.zeros(len(descs), np.int64)
         for _ in range(self.L):
@@ -175,15 +175,19 @@ class Vocabulary:
         child_arr = np.full((n, kmax), -1, np.int64)
         for i, c in enumerate(self.children):
             child_arr[i, :len(c)] = c
+        wid_of_node = np.full(n, -1, np.int64)
+        for node, wid in self.word_of_node.items():
+            wid_of_node[node] = wid
         self._packed = (child_arr, np.array(self.node_desc, np.uint8),
                         np.array(self.node_weight, np.float64),
-                        np.array(self.node_depth, np.int32))
+                        np.array(self.node_depth, np.int32), wid_of_node)
 
     # -- runtime -----------------------------------------------------------
     def transform(self, descriptors: np.ndarray, levelsup: int = 4):
         """(BowVector word->weight L1-normalized, FeatureVector node->[kp idx])
         — TemplatedVocabulary::transform(features, bv, fv, levelsup)."""
-        child_arr, node_desc, node_weight, node_depth = self._packed
+        child_arr, node_desc, node_weight, node_depth, wid_of_node = \
+            self._packed
         nd = len(descriptors)
         bow: Dict[int, float] = {}
         fv: Dict[int, list] = {}
@@ -208,18 +212,27 @@ class Vocabulary:
             cur = np.where(has.any(axis=1), nxt, cur)
             if depth == nid_level:
                 nid = cur.copy()
-        for i in range(nd):
-            node = int(cur[i])
-            wid = self.word_of_node.get(node)
-            if wid is None:
-                continue
-            w = node_weight[node]
-            if w > 0:
-                bow[wid] = bow.get(wid, 0.0) + w
-            fv.setdefault(int(nid[i]), []).append(i)
-        total = sum(bow.values())
-        if total > 0:
-            bow = {k: v / total for k, v in bow.items()}
+        # vectorized tail (was a per-descriptor Python loop): descriptors
+        # whose leaf is a word contribute its weight to the BowVector and
+        # their index to the FeatureVector bucket of the levelsup node
+        wid_arr = wid_of_node[cur]
+        sel = np.flatnonzero(wid_arr >= 0)
+        if len(sel):
+            w_arr = node_weight[cur[sel]]
+            pos = sel[w_arr > 0]
+            if len(pos):
+                uw, inv = np.unique(wid_arr[pos], return_inverse=True)
+                sums = np.bincount(inv, weights=node_weight[cur[pos]])
+                total = float(sums.sum())
+                scale = 1.0 / total if total > 0 else 1.0
+                bow = {int(k): float(v) * scale for k, v in zip(uw, sums)}
+            order = np.argsort(nid[sel], kind="stable")
+            so = nid[sel][order]
+            si = sel[order]
+            starts = np.flatnonzero(np.r_[True, so[1:] != so[:-1]])
+            ends = np.r_[starts[1:], len(so)]
+            for b, e in zip(starts, ends):
+                fv[int(so[b])] = si[b:e].tolist()
         return bow, fv
 
     @staticmethod
