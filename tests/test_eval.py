@@ -116,8 +116,10 @@ def test_quality_regression_thresholds(tmp_path):
     run(folder, "associate.txt", cam, cfg)
 
     gt_ts, gt = tum.read_trajectory(os.path.join(folder, "groundtruth.txt"))
-    for fname, thresh in (("Tracking_trajectory.txt", 0.02),
-                          ("SLAM_trajectory.txt", 0.02)):
+    # tightened in round 3 (recorded ATEs are 0.002-0.006 since the
+    # moment-form flow conditioning; 0.01 leaves ~2x headroom)
+    for fname, thresh in (("Tracking_trajectory.txt", 0.01),
+                          ("SLAM_trajectory.txt", 0.01)):
         ts, poses = tum.read_trajectory(os.path.join(folder, fname))
         rmse = tum.ate_rmse(gt_ts, gt, ts, poses)
         assert rmse < thresh, f"{fname}: ATE {rmse} >= {thresh}"
