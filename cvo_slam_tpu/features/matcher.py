@@ -229,7 +229,6 @@ def optimize_relative_transformation(kps_2d: np.ndarray, pts_3d: np.ndarray,
         return (d2 * np.log1p(c / d2)).sum()
 
     from ..ops import se3
-    import jax.numpy as jnp
 
     LAM_MAX = 1e12   # damping this high means dx ~ 0; further tries are noise
     chi2 = chi2_of(E)
@@ -250,8 +249,10 @@ def optimize_relative_transformation(kps_2d: np.ndarray, pts_3d: np.ndarray,
                 lam = min(lam * ni, LAM_MAX)
                 ni *= 2
                 continue
-            E_try = np.asarray(se3.exp_se3(jnp.asarray(dx, jnp.float32)),
-                               np.float64) @ E
+            # host-side exp: a device exp_se3 here costs a full tunnel
+            # round-trip per LM step (measured ~28 ms; the LC rounds spent
+            # ~7 s each on it)
+            E_try = se3.exp_se3_np(dx) @ E
             c_new = chi2_of(E_try)
             rho = (chi2 - c_new) / (dx @ (lam * dx + b) + 1e-3)
             if rho > 0 and np.isfinite(c_new):

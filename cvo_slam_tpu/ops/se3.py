@@ -99,6 +99,34 @@ def exp_se3(xi):
     return make_pose(R, t)
 
 
+def exp_se3_np(xi):
+    """Pure-NumPy float64 SE(3) exponential for HOST-side solvers (the
+    loop-closure pose-only LM runs on the host; a jnp exp_se3 there costs a
+    full device round-trip per LM step — ~28 ms through a TPU tunnel — and
+    f64 matches the reference's double-precision g2o::SE3Quat::exp more
+    closely than the f32 device path)."""
+    import numpy as _np
+    xi = _np.asarray(xi, _np.float64)
+    w, v = xi[:3], xi[3:6]
+    theta = float(_np.linalg.norm(w))
+    A = _np.array([[0.0, -w[2], w[1]], [w[2], 0.0, -w[0]],
+                   [-w[1], w[0], 0.0]])
+    I = _np.eye(3)
+    if theta < 1e-7:
+        R = I + A
+        J = I + 0.5 * A
+    else:
+        A2 = A @ A
+        R = I + (_np.sin(theta) / theta) * A \
+            + ((1.0 - _np.cos(theta)) / theta ** 2) * A2
+        J = I + ((1.0 - _np.cos(theta)) / theta ** 2) * A \
+            + ((theta - _np.sin(theta)) / theta ** 3) * A2
+    T = _np.eye(4)
+    T[:3, :3] = R
+    T[:3, 3] = J @ v
+    return T
+
+
 def log_se3(T):
     """SE(3) log returning [w, v] (LieGroup.cpp:128-136)."""
     w = log_so3(T[..., :3, :3])

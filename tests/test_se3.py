@@ -161,3 +161,18 @@ def test_jacobi_eigvalsh():
         np.testing.assert_allclose(np.sort(got[k]), want,
                                    atol=3e-5 * max(np.abs(want).max(), 1.0),
                                    rtol=2e-5)
+
+
+def test_exp_se3_np_matches_device():
+    """Host-side f64 exp (used by the LC pose-only LM) vs the jnp f32 exp."""
+    import numpy as np
+    from cvo_slam_tpu.ops import se3
+    import jax.numpy as jnp
+    rng = np.random.default_rng(5)
+    for _ in range(20):
+        xi = rng.normal(0, 0.5, 6)
+        a = se3.exp_se3_np(xi)
+        b = np.asarray(se3.exp_se3(jnp.asarray(xi, jnp.float32)), np.float64)
+        np.testing.assert_allclose(a, b, atol=5e-6)
+    # small-angle branch
+    np.testing.assert_allclose(se3.exp_se3_np(np.zeros(6)), np.eye(4))
