@@ -150,6 +150,7 @@ def _measure():
                     t_now = time.perf_counter()
                     times.append(t_now - t_prev)
                     t_prev = t_now
+                    out = pending   # iters reported from a MEASURED frame
                 pending = fut
         else:
             for i in range(100):

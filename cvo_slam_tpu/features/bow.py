@@ -28,11 +28,14 @@ _POPCOUNT = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
                           axis=1).sum(1).astype(np.uint8)
 
 
+_HAS_BITWISE_COUNT = hasattr(np, "bitwise_count")   # NumPy >= 2.0
+
+
 def _popcount_sum(x: np.ndarray) -> np.ndarray:
     """Sum of per-byte popcounts over the last axis (= Hamming distance of
-    packed descriptors). Native np.bitwise_count over a uint64 view is ~8x
-    the byte-LUT path; the LUT remains as the odd-length fallback."""
-    if x.shape[-1] % 8 == 0:
+    packed descriptors). Native np.bitwise_count (NumPy >= 2.0) over a uint64
+    view is ~8x the byte-LUT path; the LUT serves odd lengths and NumPy 1.x."""
+    if _HAS_BITWISE_COUNT and x.shape[-1] % 8 == 0:
         x64 = np.ascontiguousarray(x).view(np.uint64)
         return np.bitwise_count(x64).sum(axis=-1).astype(np.int32)
     return _POPCOUNT[x].sum(axis=-1).astype(np.int32)

@@ -55,12 +55,27 @@ def _apply_frame(odo: Cvo, kfc: Cvo, fut):
     return T1, hip1, T2, hip2
 
 
+def _split_frame(odo: Cvo, kfc: Cvo):
+    """2-dispatch fallback for the Pallas backends: frame_step would run two
+    whole-align megakernels back-to-back inside ONE jit program, where the
+    engine._fence() workaround only executes at trace time — the axon tunnel
+    re-dispatch poisoning bench.py gates against. Host-sequenced split keeps
+    the fence between the two alignments (and is the reference call order,
+    local_tracker.cpp:406-431)."""
+    T1, ip1 = odo._align_with_innerproduct()
+    kfc.reset_initial(T1)
+    T2, ip2 = kfc._align_with_innerproduct()
+    return T1, ip1, T2, ip2
+
+
 def _execute_frame(odo: Cvo, kfc: Cvo, cloud, pixels):
     from ..cvo import engine
     ready = odo.set_pcd(cloud, pixels)
     assert ready, "cvo not initialized"
     ready = kfc.set_pcd(cloud, pixels)
     assert ready, "cvo not initialized"
+    if odo.backend.startswith("pallas"):
+        return _split_frame(odo, kfc)
     fut = engine.frame_step(
         odo.fixed, kfc.fixed, odo.moving, odo.R, odo.T,
         np.float32(odo.ell), kfc.transform.astype(np.float32),
@@ -137,6 +152,16 @@ class SpeculativeExecutor:
 
     def _frame(self, odo: Cvo, kfc: Cvo, cloud, pixels):
         from ..cvo import engine
+        if odo.backend.startswith("pallas"):
+            # no fused frame_step (megakernel fence must interleave between
+            # alignments) and hence no speculation either
+            self.spec = None
+            ready = odo.set_pcd(cloud, pixels)
+            assert ready, "cvo not initialized"
+            ready = kfc.set_pcd(cloud, pixels)
+            assert ready, "cvo not initialized"
+            self.misses += 1
+            return _split_frame(odo, kfc)
         use = self.spec if self._speculation_valid(odo, kfc, cloud) else None
         self.spec = None
         ready = odo.set_pcd(cloud, pixels)
