@@ -24,23 +24,16 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _measure():
-    from cvo_slam_tpu.utils.compcache import enable_persistent_cache
-    enable_persistent_cache()
-    import jax
-    from cvo_slam_tpu.config import CAMERA_PRESETS, SlamConfig
+def build_bench_host_clouds(cam, cfg):
+    """The 4 host point clouds of the bench workload (synthetic TUM scene,
+    ~3000 selected points each) — shared with tools/measure_reference_baseline
+    so the C++ reference-cost replica runs on the IDENTICAL clouds."""
     from cvo_slam_tpu.data.synthetic import _base_scene
     from cvo_slam_tpu.frontend.pointcloud import create_pointcloud
-    from cvo_slam_tpu.cvo import engine
     from cvo_slam_tpu.ops import se3
     import jax.numpy as jnp
     import cv2
 
-    cam = CAMERA_PRESETS["TUM1"]
-    cfg = SlamConfig.default_shipped()
-    p = cfg.cvo
-
-    # build 4 frames of a synthetic scene (host-side, excluded from timing)
     rng = np.random.default_rng(7)
     bgr0, z0 = _base_scene(cam, rng)
     H, W = cam.height, cam.width
@@ -50,7 +43,7 @@ def _measure():
         np.float64)
     ys, xs = np.mgrid[0:H, 0:W]
     P0 = np.stack([(xs - cx) * z0 / fx, (ys - cy) * z0 / fy, z0], -1).reshape(-1, 3)
-    clouds = []
+    host_clouds = []
     G = np.eye(4)
     for k in range(4):
         if k == 0:
@@ -71,8 +64,26 @@ def _measure():
             depth[holes] = (z0[holes] * cam.depth_factor).astype(np.uint16)
         gray = cv2.cvtColor(bgr, cv2.COLOR_RGB2GRAY)
         pc = create_pointcloud(bgr, gray, depth, cam, cfg.frontend)
-        clouds.append(engine.PointCloud.from_host(pc))
+        host_clouds.append(pc)
         G = step @ G
+    return host_clouds
+
+
+def _measure():
+    from cvo_slam_tpu.utils.compcache import enable_persistent_cache
+    enable_persistent_cache()
+    import jax
+    from cvo_slam_tpu.config import CAMERA_PRESETS, SlamConfig
+    from cvo_slam_tpu.cvo import engine
+    import jax.numpy as jnp
+
+    cam = CAMERA_PRESETS["TUM1"]
+    cfg = SlamConfig.default_shipped()
+    p = cfg.cvo
+
+    # build 4 frames of a synthetic scene (host-side, excluded from timing)
+    clouds = [engine.PointCloud.from_host(pc)
+              for pc in build_bench_host_clouds(cam, cfg)]
     log(f"platform={jax.devices()[0].platform} clouds ready")
 
     eye3 = jnp.eye(3)
@@ -179,18 +190,40 @@ def _measure():
     else:
         from cvo_slam_tpu.cvo import pallas_kernels as _pk
         tile_skip = _pk.skip_enabled()
-    print(json.dumps({
+    # vs_baseline: fps / measured reference-replica fps on this host
+    # (REF_BASELINE.json, produced by tools/measure_reference_baseline.py —
+    # a faithful C++ replica of the reference's per-frame CVO cost with every
+    # discretionary choice biased in the reference's favor). Falls back to
+    # the 30 fps camera rate when no measurement is present.
+    ref = None
+    import os as _os
+    ref_path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                             "REF_BASELINE.json")
+    if _os.path.exists(ref_path):
+        with open(ref_path) as f:
+            ref = json.load(f)
+    out_json = {
         "metric": "tracking_frames_per_s_chip",
         "value": round(fps, 3),
         "unit": "frames/s",
-        "vs_baseline": round(fps / 30.0, 3),
+        "vs_baseline": round(fps / ref["fps"], 3) if ref
+        else round(fps / 30.0, 3),
+        "vs_camera_30fps": round(fps / 30.0, 3),
         "backend": backend,
         "tile_skip": tile_skip,
         "frames_measured": len(times),
         "ms_per_frame": round(ms_frame, 2),
         "align_iters_per_frame": iters_frame,
         "ms_per_align_iter_upper": round(ms_frame / max(iters_frame, 1), 4),
-    }), flush=True)
+    }
+    if ref:
+        out_json["baseline"] = {
+            "kind": "reference_cpp_replica", "fps": ref["fps"],
+            "ms_per_frame": ref.get("value"),
+            "threads": ref.get("threads"),
+            "source": "REF_BASELINE.json "
+                      "(tools/measure_reference_baseline.py)"}
+    print(json.dumps(out_json), flush=True)
 
 
 def main():

@@ -177,7 +177,7 @@ def optimize_ba(E0, L0, free_pose, lm_mask,
             jnp.max(jnp.abs(jnp.einsum("laa->la", Hll))))
         lam = jnp.where(lam < 0, 1e-5 * diag_max, lam)
 
-        def trial(c2, _):
+        def trial_body(c2):
             E_cur, L_cur, lam, ni, done = c2
             dxp, dxl = solve(Hpp, Hpl, Hll, bp, bl, lam)
             E_try = se3.exp_se3(dxp) @ E
@@ -186,14 +186,18 @@ def optimize_ba(E0, L0, free_pose, lm_mask,
             scale = (jnp.sum(dxp * (lam * dxp + bp))
                      + jnp.sum(dxl * (lam * dxl + bl)) + 1e-3)
             rho = (chi2 - chi2_new) / scale
-            accept = (rho > 0) & jnp.isfinite(chi2_new) & (~done)
-            lam_n = jnp.where(done, lam, jnp.where(
+            accept = (rho > 0) & jnp.isfinite(chi2_new)
+            lam_n = jnp.where(
                 accept, lam * jnp.maximum(1 / 3, 1 - (2 * rho - 1) ** 3),
-                lam * ni))
-            ni_n = jnp.where(done, ni, jnp.where(accept, 2.0, ni * 2.0))
+                lam * ni)
             return (jnp.where(accept, E_try, E_cur),
                     jnp.where(accept, L_try, L_cur),
-                    lam_n, ni_n, done | accept), None
+                    lam_n, jnp.where(accept, 2.0, ni * 2.0), accept)
+
+        def trial(c2, _):
+            # skip post-acceptance trials (bit-exact: the skipped body was
+            # a no-op that still paid the Schur solve + chi2 pass)
+            return jax.lax.cond(c2[4], lambda c: c, trial_body, c2), None
 
         (E_n, L_n, lam, ni, _), _ = jax.lax.scan(
             trial, (E, L, lam, ni, jnp.array(False)), None, length=10)
@@ -321,25 +325,24 @@ def make_windowed_ba(cam: CameraConfig, cfg: SlamConfig):
         def prune(E_cur, L_cur):
             err2, z = projection_errors(E_cur, L_cur, args[9], args[10],
                                         args[11], Kj)
-            err2 = np.asarray(err2)
-            z = np.asarray(z)
-            removed = 0
-            for i in range(len(proj)):
-                if not p_mask[i]:
-                    continue
-                if err2[i] > 9.0 or z[i] <= 0:
-                    p_mask[i] = False
-                    removed += 1
-                    kf_id, li, _, _, mp_id, kp_idx = proj[i]
-                    mp = graph.map_points[mp_id]
-                    kp = mp.erase_observation(kf_id)
-                    kf_by_id[kf_id].mappoints_id.pop(kp, None)
-                    if len(mp.keypoints_id) == 1:
-                        only_kf, only_kp = next(iter(mp.keypoints_id.items()))
-                        mp.erase_observation(only_kf)
-                        kf_by_id[only_kf].mappoints_id.pop(only_kp, None)
+            err2 = np.asarray(err2)[:len(proj)]
+            z = np.asarray(z)[:len(proj)]
+            # vectorized outlier gate (the reference's per-edge loop,
+            # keyframe_graph.cpp:1127-1167); host bookkeeping only touches
+            # the removed edges, in ascending edge order as before
+            bad = p_mask[:len(proj)] & ((err2 > 9.0) | (z <= 0))
+            for i in np.flatnonzero(bad):
+                p_mask[i] = False
+                kf_id, li, _, _, mp_id, kp_idx = proj[i]
+                mp = graph.map_points[mp_id]
+                kp = mp.erase_observation(kf_id)
+                kf_by_id[kf_id].mappoints_id.pop(kp, None)
+                if len(mp.keypoints_id) == 1:
+                    only_kf, only_kp = next(iter(mp.keypoints_id.items()))
+                    mp.erase_observation(only_kf)
+                    kf_by_id[only_kf].mappoints_id.pop(only_kp, None)
             args[13] = jnp.asarray(p_mask)
-            return removed
+            return int(bad.sum())
 
         # stage 1: 5 iterations, prune, then the full run + second prune.
         # Both prunes are gated on OptimizationRemoveOutliers; the reference

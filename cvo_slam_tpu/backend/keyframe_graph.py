@@ -108,6 +108,13 @@ class KeyframeGraph:
                 + (time.perf_counter() - t0) * 1e3
             return out
 
+        # kick the post-retrain BoW refresh onto a worker thread so it
+        # overlaps the device-side local-map optimize below instead of
+        # stalling the loop-closure round
+        prefetch = getattr(self.loop_detector, "prefetch", None)
+        if prefetch is not None:
+            prefetch(self)
+
         keyframe = timed("insert", self._insert_new_keyframe, m)
 
         if len(self._keyframes) <= 2:

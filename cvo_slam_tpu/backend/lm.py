@@ -133,7 +133,7 @@ def optimize(g: PoseGraph, iterations: int, robust_delta: float = 0.0):
         # g2o initial lambda on first iteration: 1e-5 * max diag(H)
         lam = jnp.where(lam < 0, 1e-5 * jnp.max(jnp.diagonal(H)), lam)
 
-        def trial(carry2, _):
+        def trial_body(carry2):
             E_cur, lam, ni, done = carry2
             Hl = H + lam * jnp.eye(V * 6, dtype=H.dtype)
             dx = jnp.linalg.solve(Hl, b)
@@ -142,14 +142,19 @@ def optimize(g: PoseGraph, iterations: int, robust_delta: float = 0.0):
             chi2_new = _total_chi2(E_try, g, delta)
             scale = dx @ (lam * dx + b) + 1e-3
             rho = (chi2 - chi2_new) / scale
-            accept = (rho > 0) & jnp.isfinite(chi2_new) & (~done)
+            accept = (rho > 0) & jnp.isfinite(chi2_new)
             lam_acc = lam * jnp.maximum(1.0 / 3.0,
                                         1.0 - (2.0 * rho - 1.0) ** 3)
-            E_next = jnp.where(accept, E_try, E_cur)
-            lam_next = jnp.where(done, lam,
-                                 jnp.where(accept, lam_acc, lam * ni))
-            ni_next = jnp.where(done, ni, jnp.where(accept, 2.0, ni * 2.0))
-            return (E_next, lam_next, ni_next, done | accept), None
+            return (jnp.where(accept, E_try, E_cur),
+                    jnp.where(accept, lam_acc, lam * ni),
+                    jnp.where(accept, 2.0, ni * 2.0), accept)
+
+        def trial(carry2, _):
+            # skip post-acceptance trials: the original body was a no-op
+            # once `done` but still paid the dense solve + chi2 pass each
+            # of the remaining scan steps (bit-exact skip)
+            return jax.lax.cond(carry2[3], lambda c: c, trial_body,
+                                carry2), None
 
         (E_new, lam, ni, _), _ = jax.lax.scan(
             trial, (E, lam, ni, jnp.array(False)), None, length=10)

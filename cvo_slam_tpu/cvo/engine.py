@@ -396,6 +396,37 @@ def compute_innerproduct_lc(fixed: PointCloud, moving: PointCloud,
                 inliers_svd=inliers_svd, inliers_pnpransac=inliers_pnp)
 
 
+@partial(jax.jit, static_argnames=("p", "backend"))
+def lc_verify_batch(fixed: PointCloud, movings: PointCloud, R0, T0, ell0,
+                    priors, lc_priors, p: CvoParams, backend: str = "xla"):
+    """ALL loop-closure candidate verifications of one detection round in
+    ONE vmapped dispatch.
+
+    The reference runs a fresh `cvo::cvo` per candidate sequentially
+    (keyframe_graph.cpp:693-714: reset_initial(lc_prior) -> set_pcd(ref) ->
+    match_keyframe(cand) -> compute_innerproduct_lc); here the <=10
+    candidates share the fixed reference cloud (broadcast) and the batched
+    align while_loop runs until every lane converges (per-lane state is
+    frozen on convergence, so each lane's result equals its solo run —
+    the same mechanism the lockstep multi-sequence tracker relies on).
+    Sequential per-candidate dispatches paid ~2 device round-trips each
+    through the TPU tunnel; this is one dispatch + one blocking transfer
+    per round (VERDICT r3 item 1).
+
+    movings/R0/T0/ell0/priors/lc_priors carry a leading candidate axis;
+    the pnpransac prior is identity for every candidate (never assigned in
+    the reference's active code)."""
+    eye4 = jnp.eye(4, dtype=jnp.float32)
+
+    def one(moving, R0_i, T0_i, ell0_i, prior, lc_prior):
+        res = align(fixed, moving, R0_i, T0_i, ell0_i, p, backend)
+        lc = compute_innerproduct_lc(fixed, moving, prior, lc_prior, eye4,
+                                     res.transform, res.ell, p, backend)
+        return res, lc
+
+    return jax.vmap(one)(movings, R0, T0, ell0, priors, lc_priors)
+
+
 # ---------------------------------------------------------------------------
 # host-side state machine (mirrors cvo::cvo state plumbing)
 # ---------------------------------------------------------------------------

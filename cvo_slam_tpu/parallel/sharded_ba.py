@@ -171,6 +171,12 @@ def make_ba_optimizer(E0, free_pose, sharded, K, iterations: int,
             chi2 = jnp.sum(rc_pose) + jnp.sum(
                 jnp.where(p_mask,
                           jnp.where(use, d2w * jnp.log1p(c / d2w), c), 0.0))
+            # reduce the lam-independent pose system ONCE per outer
+            # iteration — previously Hpp/bp rode inside the per-trial psum
+            # (and bp inside the trial's scale term), paying the collective
+            # up to 10x per outer iteration (VERDICT r3 item 5)
+            Hpp = jax.lax.psum(Hpp, axis)
+            bp = jax.lax.psum(bp, axis)
             return Hpp, Hpl, Hll, bp, bl, jax.lax.psum(chi2, axis)
 
         def solve(Hpp, Hpl, Hll, bp, bl, lam):
@@ -180,12 +186,14 @@ def make_ba_optimizer(E0, free_pose, sharded, K, iterations: int,
             Hll_inv = jnp.linalg.inv(Hll_d)
             bl_m = bl * fl[:, None]
             HplHinv = jnp.einsum("vlab,lbc->vlac", Hpl, Hll_inv)
-            S_local = Hpp - jnp.einsum("vlac,ulec->vuae", HplHinv, Hpl)
-            rhs_local = bp - jnp.einsum("vlac,lc->va", HplHinv, bl_m)
-            # NB: Hpp contributions are per-shard partial sums; the psum
-            # below assembles the global reduced camera system over ICI
-            S = jax.lax.psum(S_local, axis)
-            rhs = jax.lax.psum(rhs_local, axis)
+            # only the lam-dependent Schur corrections cross the mesh per
+            # trial; Hpp/bp were globally reduced in normal_eq already
+            corr_S = jax.lax.psum(
+                jnp.einsum("vlac,ulec->vuae", HplHinv, Hpl), axis)
+            corr_rhs = jax.lax.psum(
+                jnp.einsum("vlac,lc->va", HplHinv, bl_m), axis)
+            S = Hpp - corr_S
+            rhs = bp - corr_rhs
             S = S + lam * jnp.eye(6, dtype=jnp.float32)[None, None] * \
                 jnp.eye(V, dtype=jnp.float32)[:, :, None, None]
             S = S * fp[:, None, None, None] * fp[None, :, None, None]
@@ -203,35 +211,42 @@ def make_ba_optimizer(E0, free_pose, sharded, K, iterations: int,
         def outer(carry, _):
             E, L, lam, ni = carry
             Hpp, Hpl, Hll, bp, bl, chi2 = normal_eq(E, L)
-            # pose-block diagonals are per-shard partials: reduce them before
-            # the max so lambda_0 matches the single-device solver; landmark
-            # blocks are complete on their owner shard (pmax suffices)
-            diag_pose = jax.lax.psum(jnp.einsum("vvaa->va", Hpp), axis)
+            # Hpp is globally reduced by normal_eq; landmark blocks are
+            # complete on their owner shard (pmax suffices)
             dmax = jnp.maximum(
-                jnp.max(jnp.abs(diag_pose)),
+                jnp.max(jnp.abs(jnp.einsum("vvaa->va", Hpp))),
                 jax.lax.pmax(jnp.max(jnp.abs(jnp.einsum("laa->la", Hll))),
                              axis))
             lam = jnp.where(lam < 0, 1e-5 * dmax, lam)
 
-            def trial(c2, _):
+            def trial_body(c2):
                 E_cur, L_cur, lam, ni, done = c2
                 dxp, dxl = solve(Hpp, Hpl, Hll, bp, bl, lam)
                 E_try = se3.exp_se3(dxp) @ E
                 L_try = L + dxl
                 chi2_new = total_chi2(E_try, L_try)
                 scale_local = (jnp.sum(dxl * (lam * dxl + bl)))
-                scale = (jnp.sum(dxp * (lam * dxp
-                                        + jax.lax.psum(bp, axis)))
+                scale = (jnp.sum(dxp * (lam * dxp + bp))
                          + jax.lax.psum(scale_local, axis) + 1e-3)
                 rho = (chi2 - chi2_new) / scale
-                accept = (rho > 0) & jnp.isfinite(chi2_new) & (~done)
-                lam_n = jnp.where(done, lam, jnp.where(
+                accept = (rho > 0) & jnp.isfinite(chi2_new)
+                lam_n = jnp.where(
                     accept, lam * jnp.maximum(1 / 3, 1 - (2 * rho - 1) ** 3),
-                    lam * ni))
-                ni_n = jnp.where(done, ni, jnp.where(accept, 2.0, ni * 2.0))
+                    lam * ni)
+                ni_n = jnp.where(accept, 2.0, ni * 2.0)
                 return (jnp.where(accept, E_try, E_cur),
                         jnp.where(accept, L_try, L_cur),
-                        lam_n, ni_n, done | accept), None
+                        lam_n, ni_n, accept)
+
+            def trial(c2, _):
+                # once a trial accepted, the remaining scan iterations were
+                # pure no-ops that still paid the solve + 3 collectives each;
+                # `done` is replicated (derived from psummed quantities), so
+                # every device takes the same branch and the cond legally
+                # skips the collectives (bit-exact: the skipped body changed
+                # nothing)
+                done = c2[4]
+                return jax.lax.cond(done, lambda c: c, trial_body, c2), None
 
             (E_n, L_n, lam, ni, _), _ = jax.lax.scan(
                 trial, (E, L, lam, ni, jnp.array(False)), None, length=10)
