@@ -101,6 +101,22 @@ def _catalog():
             n_frames=100,
             kwargs=lambda n: dict(trajectory=oscillating_trajectory(n, mild),
                                   exposure_ramp=0.6)),
+        # sensor-realism circuit: multi-surface scene with depth
+        # discontinuities + the Kinect noise model (axial sigma ~ z^2,
+        # disparity quantization, edge/speckle dropout, RGB read noise,
+        # per-frame motion blur)
+        "noisy_loop_120": dict(
+            n_frames=120,
+            kwargs=lambda n: dict(trajectory=loop_trajectory(n),
+                                  multi_surface=True, noise=True)),
+        # metre-scale: 500 frames around a 0.8 m-radius circuit (~5 m path)
+        # over a world sheet 3 frustums wide, with the full sensor model
+        "metre_loop_500": dict(
+            n_frames=500,
+            kwargs=lambda n: dict(
+                trajectory=loop_trajectory(n, radius=0.8, lift=0.35,
+                                           yaw_amp=0.3),
+                extent=3.0, multi_surface=True, noise=True)),
     }
 
 
@@ -138,10 +154,17 @@ def run_sequence(name: str, folder: str, cam: CameraConfig, cfg: SlamConfig,
 
 
 def run_suite(out_dir: str, scale: float = 1.0, camera: str = "TUM1",
-              sequences=None, cfg: SlamConfig = None, verbose: bool = False):
+              sequences=None, cfg: SlamConfig = None, verbose: bool = False,
+              use_async: bool = False):
     cam = scaled_camera(CAMERA_PRESETS[camera], scale) if scale != 1.0 \
         else CAMERA_PRESETS[camera]
     cfg = cfg or SlamConfig.default_shipped()
+    if use_async:
+        # the working UseMultiThreading replacement (parallel.async_backend):
+        # loop closure + BA consume completed maps on a worker thread while
+        # tracking continues (the reference's version is flagged do-not-use,
+        # keyframe_graph.cpp:2091-2095)
+        cfg = cfg.replace(UseMultiThreading=True)
     cat = _catalog()
     names = sequences or list(cat)
     results = []
@@ -155,7 +178,8 @@ def run_suite(out_dir: str, scale: float = 1.0, camera: str = "TUM1",
         print(json.dumps(res), flush=True)
     payload = dict(scale=scale, camera=camera,
                    resolution=[cam.width, cam.height],
-                   config="shipped", results=results)
+                   config="shipped", async_backend=use_async,
+                   results=results)
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "results.json"), "w") as f:
         json.dump(payload, f, indent=1)
@@ -202,12 +226,15 @@ def main(argv=None):
                          "this image pre-imports jax, so JAX_PLATFORMS set "
                          "in the shell is ignored")
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--async", dest="use_async", action="store_true",
+                    help="run the backend on the async pipeline "
+                         "(UseMultiThreading replacement)")
     args = ap.parse_args(argv)
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
     payload = run_suite(args.out, args.scale, args.camera, args.seq,
-                        verbose=args.verbose)
+                        verbose=args.verbose, use_async=args.use_async)
     if args.results_md:
         with open(args.results_md, "w") as f:
             f.write(render_markdown(payload))

@@ -89,19 +89,36 @@ def shard_ba_problem(n_dev, L, lm_mask, p_kf, p_lm, p_meas, p_w, p_mask,
 
 
 def optimize_ba_sharded(E0, free_pose, sharded, K, iterations: int,
-                        robust_delta: float, mesh: Mesh, axis: str = "dp"):
+                        robust_delta: float, mesh: Mesh, axis: str = "dp",
+                        solver: str = "dense"):
     """Sharded counterpart of backend.ba.optimize_ba. `sharded` comes from
     shard_ba_problem; E0/K are replicated. Returns (E_opt, L_opt_sharded)."""
     run, args = make_ba_optimizer(E0, free_pose, sharded, K, iterations,
-                                  robust_delta, mesh, axis)
+                                  robust_delta, mesh, axis, solver)
     return run(jnp.asarray(E0), *args)
 
 
 def make_ba_optimizer(E0, free_pose, sharded, K, iterations: int,
-                      robust_delta: float, mesh: Mesh, axis: str = "dp"):
+                      robust_delta: float, mesh: Mesh, axis: str = "dp",
+                      solver: str = "dense"):
     """Build the reusable sharded BA step: returns (run, args) so callers
     can invoke run(E0, *args) repeatedly against one compilation (used by
-    the scaling harness, eval.scaling)."""
+    the scaling harness, eval.scaling).
+
+    solver='dense': assemble the full (6V)^2 reduced camera system on every
+    device (one (V,V,6,6) psum per LM trial) and solve it replicated —
+    right for small windows (the reference's windowed-BA regime,
+    keyframe_graph.cpp:1073 marks landmarks marginalized for exactly this
+    Schur solve inside g2o's BlockSolver_6_3).
+
+    solver='pcg': never materialize the reduced system anywhere — the Schur
+    operator S x = Hpp x + lam x - sum_l Hpl_l Hll_l^-1 Hpl_l^T x is applied
+    matrix-free with the landmark sum local to each owner shard, so the only
+    per-CG-iteration collective is one (V,6) psum (SURVEY section 5.8's
+    distributed-PCG prescription for the large-graph regime; the per-trial
+    (V,V,6,6) corr_S psum of the dense path disappears). Block-Jacobi
+    preconditioner from the psummed 6x6 diagonal. Equality vs dense is
+    tested in tests/test_ba.py."""
     V = E0.shape[0]
     delta = jnp.asarray(robust_delta, jnp.float32)
     fp = jnp.asarray(free_pose, jnp.float32)
@@ -186,27 +203,88 @@ def make_ba_optimizer(E0, free_pose, sharded, K, iterations: int,
             Hll_inv = jnp.linalg.inv(Hll_d)
             bl_m = bl * fl[:, None]
             HplHinv = jnp.einsum("vlab,lbc->vlac", Hpl, Hll_inv)
-            # only the lam-dependent Schur corrections cross the mesh per
-            # trial; Hpp/bp were globally reduced in normal_eq already
-            corr_S = jax.lax.psum(
-                jnp.einsum("vlac,ulec->vuae", HplHinv, Hpl), axis)
             corr_rhs = jax.lax.psum(
                 jnp.einsum("vlac,lc->va", HplHinv, bl_m), axis)
-            S = Hpp - corr_S
-            rhs = bp - corr_rhs
-            S = S + lam * jnp.eye(6, dtype=jnp.float32)[None, None] * \
-                jnp.eye(V, dtype=jnp.float32)[:, :, None, None]
-            S = S * fp[:, None, None, None] * fp[None, :, None, None]
-            S = S.at[jnp.arange(V), jnp.arange(V)].add(
-                (1.0 - fp)[:, None, None] * jnp.eye(6, dtype=jnp.float32))
-            rhs = rhs * fp[:, None]
-            Sd = S.transpose(0, 2, 1, 3).reshape(V * 6, V * 6)
-            dxp = jnp.linalg.solve(Sd, rhs.reshape(-1)).reshape(V, 6)
+            rhs = (bp - corr_rhs) * fp[:, None]
+
+            if solver == "pcg":
+                dxp = _pcg_solve(Hpp, Hpl, HplHinv, rhs, lam)
+            else:
+                # only the lam-dependent Schur corrections cross the mesh per
+                # trial; Hpp/bp were globally reduced in normal_eq already
+                corr_S = jax.lax.psum(
+                    jnp.einsum("vlac,ulec->vuae", HplHinv, Hpl), axis)
+                S = Hpp - corr_S
+                S = S + lam * jnp.eye(6, dtype=jnp.float32)[None, None] * \
+                    jnp.eye(V, dtype=jnp.float32)[:, :, None, None]
+                S = S * fp[:, None, None, None] * fp[None, :, None, None]
+                S = S.at[jnp.arange(V), jnp.arange(V)].add(
+                    (1.0 - fp)[:, None, None] * jnp.eye(6, dtype=jnp.float32))
+                Sd = S.transpose(0, 2, 1, 3).reshape(V * 6, V * 6)
+                dxp = jnp.linalg.solve(Sd, rhs.reshape(-1)).reshape(V, 6)
             dxp = jnp.nan_to_num(dxp) * fp[:, None]
             dxl = jnp.einsum("lbc,lc->lb", Hll_inv,
                              bl_m - jnp.einsum("vlab,va->lb", Hpl, dxp))
             dxl = jnp.nan_to_num(dxl) * fl[:, None]
             return dxp, dxl
+
+        def _pcg_solve(Hpp, Hpl, HplHinv, b, lam):
+            """Matrix-free preconditioned CG on the free-pose subspace.
+
+            Operator: A x = fp (Hpp xt + lam xt - psum_l Hpl Hll^-1 Hpl^T xt)
+                            + (1-fp) x,   xt = fp x
+            (identical spectrum to the dense path's masked S: fixed poses see
+            the identity). Every vector is replicated; the landmark Schur
+            correction is the one sharded term, so each CG iteration costs
+            ONE (V,6) psum."""
+            def matvec(xv):
+                xt = xv * fp[:, None]
+                g = jnp.einsum("vlac,va->lc", Hpl, xt)          # local lms
+                corr = jax.lax.psum(
+                    jnp.einsum("vlac,lc->va", HplHinv, g), axis)
+                Sx = jnp.einsum("vuab,ub->va", Hpp, xt) + lam * xt - corr
+                return Sx * fp[:, None] + xv * (1.0 - fp)[:, None]
+
+            # block-Jacobi preconditioner: psummed 6x6 Schur diagonal
+            diag_corr = jax.lax.psum(
+                jnp.einsum("vlac,vlec->vae", HplHinv, Hpl), axis)
+            Dv = jnp.einsum("vvab->vab", Hpp) + \
+                lam * jnp.eye(6, dtype=jnp.float32)[None] - diag_corr
+            Dv = jnp.where(fp[:, None, None] > 0, Dv,
+                           jnp.eye(6, dtype=jnp.float32)[None])
+            # guard: the damped Schur diagonal is PD in exact arithmetic;
+            # fall back to identity blocks if a block inverts badly
+            Dinv = jnp.nan_to_num(jnp.linalg.inv(Dv))
+
+            def prec(r):
+                return jnp.einsum("vab,vb->va", Dinv, r)
+
+            bnorm2 = jnp.sum(b * b)
+            tol2 = jnp.float32(1e-10) * jnp.maximum(bnorm2, 1e-30)
+            x0 = jnp.zeros_like(b)
+            r0 = b
+            z0 = prec(r0)
+            p0 = z0
+            rz0 = jnp.sum(r0 * z0)
+
+            def cg_cond(c):
+                k, _, r, _, _, _ = c
+                return (k < 6 * V) & (jnp.sum(r * r) > tol2)
+
+            def cg_body(c):
+                k, xv, r, z, pv, rz = c
+                Ap = matvec(pv)
+                alpha = rz / jnp.maximum(jnp.sum(pv * Ap), 1e-30)
+                xv = xv + alpha * pv
+                r = r - alpha * Ap
+                z = prec(r)
+                rz_new = jnp.sum(r * z)
+                beta = rz_new / jnp.maximum(rz, 1e-30)
+                return (k + 1, xv, r, z, z + beta * pv, rz_new)
+
+            _, xv, _, _, _, _ = jax.lax.while_loop(
+                cg_cond, cg_body, (jnp.array(0), x0, r0, z0, p0, rz0))
+            return xv
 
         def outer(carry, _):
             E, L, lam, ni = carry

@@ -119,3 +119,35 @@ def test_sharded_ba_matches_single_device():
     inv = np.argsort(perm)
     np.testing.assert_allclose(np.asarray(L1)[:len(perm)], L2[inv],
                                rtol=1e-3, atol=1e-3)
+
+
+def test_sharded_ba_pcg_matches_dense():
+    """The matrix-free distributed-PCG Schur solve (SURVEY section 5.8's
+    large-graph prescription) must reproduce the dense replicated solve:
+    same LM trajectory, same optimum, at 1 and 4 shards."""
+    args, E_true, lms = make_problem(seed=2)
+    shard_inputs = (
+        np.asarray(args["L0"]), np.asarray(args["lm_mask"]),
+        np.asarray(args["p_kf"]), np.asarray(args["p_lm"]),
+        np.asarray(args["p_meas"]), np.asarray(args["p_w"]),
+        np.asarray(args["p_mask"]), np.asarray(args["ei"]),
+        np.asarray(args["ej"]), np.asarray(args["Z"]),
+        np.asarray(args["omega"]), np.asarray(args["pemask"]))
+
+    results = {}
+    for n_dev in (1, 4):
+        mesh = Mesh(np.array(jax.devices()[:n_dev]), ("dp",))
+        sharded, perm, per_dev = sharded_ba.shard_ba_problem(
+            n_dev, *shard_inputs)
+        for solver in ("dense", "pcg"):
+            E, Ls = sharded_ba.optimize_ba_sharded(
+                np.asarray(args["E0"]), np.asarray(args["free_pose"]),
+                sharded, jnp.asarray(K), 10, 2.0, mesh, solver=solver)
+            L = np.asarray(Ls).reshape(-1, 3)[:len(perm)][np.argsort(perm)]
+            results[(n_dev, solver)] = (np.asarray(E), L)
+
+    for n_dev in (1, 4):
+        Ed, Ld = results[(n_dev, "dense")]
+        Ep, Lp = results[(n_dev, "pcg")]
+        np.testing.assert_allclose(Ed, Ep, rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(Ld, Lp, rtol=1e-3, atol=1e-3)
