@@ -98,21 +98,23 @@ def _measure():
     # later dispatch whose skip pattern differs (e.g. the annealed ell of
     # the next frame) fails with an opaque INVALID_ARGUMENT and poisons the
     # process. With CVO_SLAM_TILE_SKIP=0 (all tiles computed, bitwise-equal
-    # results) the same programs run indefinitely. The plain-XLA backend is
-    # unaffected either way. Host syncs between stages do NOT prevent the
-    # failure (tested); kept only to keep salvaged timings per-stage-honest.
-    sync = (lambda x: jax.block_until_ready(x)) if backend != "xla" \
-        else (lambda x: x)
+    # results) the same programs run indefinitely. The xla / pallas_mom
+    # backends are unaffected either way (static predicates only). Host
+    # syncs between stages kept only to keep salvaged timings per-stage-
+    # honest on the legacy pallas backends.
+    fused = backend in ("xla", "pallas_mom")
+    sync = (lambda x: x) if fused else (lambda x: jax.block_until_ready(x))
 
     eye4 = jnp.eye(4)
 
     def frame_step(kf_cloud, prev_cloud, cur_cloud, ell):
         """Device work of one tracked frame, exactly as the tracker issues
         it: ONE fused dispatch (engine.frame_step — odometry align+ip,
-        device-side warm start, keyframe align+ip) for the xla backend; the
-        pallas backends keep the 2-dispatch split (the megakernel's tunnel
-        fence must interleave between alignments, engine._fence)."""
-        if backend == "xla":
+        device-side warm start, keyframe align+ip) for the xla/pallas_mom
+        backends; the legacy pallas backends keep the 2-dispatch split (the
+        megakernel's tunnel fence must interleave between alignments,
+        engine._fence)."""
+        if fused:
             r1, ip1, r2, ip2, _ = engine.frame_step(
                 prev_cloud, kf_cloud, cur_cloud, eye3, zero3, ell, eye4,
                 ell, p, backend)
@@ -142,27 +144,30 @@ def _measure():
     # error (InvalidArgument)', see PERF_NOTES.md). Time frames one by one
     # and salvage whatever completes; report the best per-frame time.
     #
-    # xla: depth-1 pipelined schedule, mirroring the tracker's
-    # SpeculativeExecutor — frame i+1's program is dispatched BEFORE
-    # blocking on frame i, so the device computes ahead during the host
-    # sync round-trip; per-frame time = interval between blocking returns.
+    # xla/pallas_mom: depth-2 pipelined schedule with ASYNC host copies,
+    # mirroring the tracker's SpeculativeExecutor — frame i+1's program is
+    # dispatched and its device->host copies are STARTED before blocking on
+    # frame i. Through the axon tunnel a blocking fetch is a serialized
+    # ~24 ms round-trip, but async-started copies overlap (25.8 -> 3.8
+    # ms/fetch measured, PERF_NOTES.md round 4); per-frame time = interval
+    # between completed fetches.
     times = []
     try:
-        if backend == "xla":
-            pending = None
+        if fused:
+            import collections
+            D = 2
+            pending = collections.deque()
             t_prev = time.perf_counter()
-            for i in range(101):
-                fut = None
+            for i in range(100 + D):
                 if i < 100:
                     a, b, c = clouds[i % 2], clouds[1 + i % 2], clouds[2 + i % 2]
-                    fut = frame_step(a, b, c, ell)
-                if pending is not None:
-                    jax.block_until_ready(pending)
+                    pending.append(engine.start_host_transfer(
+                        frame_step(a, b, c, ell)))
+                if len(pending) > D or (i >= 100 and pending):
+                    out = jax.device_get(pending.popleft())
                     t_now = time.perf_counter()
                     times.append(t_now - t_prev)
                     t_prev = t_now
-                    out = pending   # iters reported from a MEASURED frame
-                pending = fut
         else:
             for i in range(100):
                 a, b, c = clouds[i % 2], clouds[1 + i % 2], clouds[2 + i % 2]
@@ -185,8 +190,8 @@ def _measure():
         f"-> <= {ms_frame / max(iters_frame, 1):.3f} ms/align-iter incl. "
         f"the 2 innerproduct suites)")
 
-    if backend == "xla":
-        tile_skip = None      # tile skipping is a Pallas-only mechanism
+    if fused:
+        tile_skip = None      # tile skipping is a legacy-pallas mechanism
     else:
         from cvo_slam_tpu.cvo import pallas_kernels as _pk
         tile_skip = _pk.skip_enabled()
@@ -242,14 +247,14 @@ def main():
     #   completes, so a defensible number lands within the first child even
     #   if the tunnel later flakes (in round 3 the pallas+skip child burned
     #   its whole budget failing warmups before xla ever ran)
-    # - pallas + skip: megakernel with spatial tile skipping — fastest on a
+    # - pallas_mom: the moment-form Pallas kernel in the align loop (static
+    #   tile predicates; immune to the tunnel's re-dispatch bug)
+    # - pallas + skip: megakernel with spatial tile skipping — fast on a
     #   healthy runtime, but dies on the axon tunnel's re-dispatch bug with
     #   data-dependent skip predicates (PERF_NOTES.md)
-    # - pallas / pallas_iter with CVO_SLAM_TILE_SKIP=0: bitwise-equal
-    #   results, static tile predicates — immune to the runtime bug
     # All configs run; the best salvaged fps wins.
-    for backend, skip in (("xla", "1"), ("pallas", "1"),
-                          ("pallas", "0"), ("pallas_iter", "0")):
+    for backend, skip in (("xla", "1"), ("pallas_mom", "1"),
+                          ("pallas", "1"), ("pallas", "0")):
         env = dict(os.environ, CVO_BENCH_CHILD="1", PYTHONUNBUFFERED="1",
                    CVO_SLAM_BACKEND=backend, CVO_SLAM_TILE_SKIP=skip)
         try:

@@ -36,25 +36,31 @@ from ..frontend.pointcloud import PointCloudHost
 
 
 def default_backend() -> str:
-    """'pallas' on TPU (fused VMEM-resident kernels), 'xla' elsewhere.
+    """'pallas_mom' on TPU (fused VMEM-resident moment kernel in the align
+    loop, XLA innerproduct suites), 'xla' elsewhere.
 
-    Override with CVO_SLAM_BACKEND=xla|pallas|pallas_iter ('pallas' = the
-    whole-align megakernel, 'pallas_iter' = one fused launch per align
-    iteration with the loop in XLA).
+    Override with CVO_SLAM_BACKEND=xla|pallas|pallas_iter|pallas_mom
+    ('pallas' = the whole-align megakernel, 'pallas_iter' = the per-pair
+    fused launch per align iteration, 'pallas_mom' = the moment-form kernel
+    per iteration — the fastest measured on v5e, 0.12 ms/iter vs 0.31 XLA,
+    PERF_NOTES.md round 4).
 
-    On an axon-tunneled TPU (JAX_PLATFORMS=axon) the default is 'xla': that
-    tunnel runtime deterministically fails re-dispatches of Pallas programs
-    with data-dependent pl.when predicates and poisons the process
-    (PERF_NOTES.md), and it penalizes in-kernel loops enough that the XLA
-    while_loop path measures faster there anyway. Real (directly attached)
-    TPUs keep the Pallas default."""
+    pallas_mom uses static tile predicates only (no data-dependent pl.when),
+    so the axon tunnel's re-dispatch bug (PERF_NOTES.md) does not apply."""
     import os
     env = os.environ.get("CVO_SLAM_BACKEND", "")
-    if env in ("xla", "pallas", "pallas_iter"):
+    if env in ("xla", "pallas", "pallas_iter", "pallas_mom"):
         return env
-    if "axon" in os.environ.get("JAX_PLATFORMS", ""):
-        return "xla"
-    return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return "pallas_mom" if jax.default_backend() == "tpu" else "xla"
+
+
+def _legacy_pallas(backend: str) -> bool:
+    """The per-pair Pallas backends ('pallas' megakernel / 'pallas_iter'),
+    which use the Pallas innerproduct kernels and need the megakernel fence
+    + split frame path. 'pallas_mom' deliberately excluded: it runs the
+    XLA program structure (while_loop + fused frame_step + speculation)
+    with only the flow/step pass swapped for the moment kernel."""
+    return backend in ("pallas", "pallas_iter")
 
 
 @jax.jit
@@ -86,6 +92,24 @@ def _fence():
     global _fence_i
     _fence_i += 1
     _fence_op(jnp.int32(_fence_i % 1024))
+
+
+def start_host_transfer(tree):
+    """Begin async device->host copies for every array leaf of `tree`.
+
+    Through the axon TPU tunnel, `jax.block_until_ready` does NOT await
+    execution and a blocking fetch costs a ~24 ms serialized round-trip —
+    but copies started with `copy_to_host_async()` overlap each other AND
+    further device work, so a later `jax.device_get` completes in a few ms
+    (measured 25.8 -> 3.8 ms/fetch, PERF_NOTES.md round 4). Call this on a
+    dispatched result whenever more work happens before the fetch (the
+    speculative frame pipeline, the bench schedule)."""
+    def _start(x):
+        start = getattr(x, "copy_to_host_async", None)
+        if start is not None:
+            start()
+    jax.tree.map(_start, tree)
+    return tree
 
 
 class PointCloud(NamedTuple):
@@ -142,7 +166,7 @@ def align(fixed: PointCloud, moving: PointCloud, R0, T0, ell0,
         _fence()
         return res
 
-    if backend == "pallas_iter":
+    if backend in ("pallas_iter", "pallas_mom"):
         fixed, moving = _pad128(fixed), _pad128(moving)
     x, fx, mx = fixed.positions, fixed.features, fixed.mask
     y0, fy, my = moving.positions, moving.features, moving.mask
@@ -155,6 +179,12 @@ def align(fixed: PointCloud, moving: PointCloud, R0, T0, ell0,
         # fused moment-form flow+step pass) is a loop constant too.
         ck_gated = pairwise.color_kernel_gated(fx, fy, mx, my, p)
         center, U = pairwise.step_moment_basis(x, mx)
+    elif backend == "pallas_mom":
+        # the moment kernel recomputes the color kernel in VMEM each
+        # iteration (cheaper than streaming the 51 MB gated color matrix
+        # from HBM); only the fixed cloud's moment basis is hoisted
+        from . import pallas_kernels as pk
+        center, Upack = pk.pack_moment_basis(x, mx)
 
     def body(carry):
         k, R, T, ell, done, iters, nnz = carry
@@ -167,6 +197,10 @@ def align(fixed: PointCloud, moving: PointCloud, R0, T0, ell0,
             # one fused launch per iteration (flow + step-size coefficients)
             omega, v, nnz_k, B, C, D, E = pk.flow_and_step(
                 x, y, fx, fy, mx, my, ell, p)
+        elif backend == "pallas_mom":
+            from . import pallas_kernels as pk
+            omega, v, nnz_k, B, C, D, E = pk.moment_flow_step(
+                x, y, fx, fy, mx, my, Upack, center, ell, p)
         else:
             # fused moment-form pass: flow + all four step coefficients from
             # ONE A^T @ U matmul (pairwise.flow_and_step_moments) — no per-
@@ -260,14 +294,14 @@ def hessian_postprocess(H_raw, inliers, p: CvoParams):
 
 
 def _ip(xa, fa, ma, xb, fb, mb, ell, p, backend):
-    if backend.startswith("pallas"):
+    if _legacy_pallas(backend):
         from . import pallas_kernels as pk
         return pk.pair_stats(xa, fa, ma, xb, fb, mb, ell, p)
     return pairwise.inner_product(xa, fa, ma, xb, fb, mb, ell, p)
 
 
 def _hess_raw(xa, fa, ma, xb, fb, mb, ell, p, backend):
-    if backend.startswith("pallas"):
+    if _legacy_pallas(backend):
         from . import pallas_kernels as pk
         _, _, G, inliers = pk.pair_stats(xa, fa, ma, xb, fb, mb, ell, p,
                                          with_moments=True)
@@ -282,13 +316,13 @@ def compute_innerproduct(fixed: PointCloud, moving: PointCloud, tran, ell,
     before/after registration, self-norms, cos angle, and the post-Hessian.
 
     Returns a dict of scalars plus the (6,6) post_hessian."""
-    if backend.startswith("pallas"):
+    if _legacy_pallas(backend):
         fixed, moving = _pad128(fixed), _pad128(moving)
     x, fx, mx = fixed.positions, fixed.features, fixed.mask
     y, fy, my = moving.positions, moving.features, moving.mask
     yt = se3.transform_points(tran, y)
 
-    if backend.startswith("pallas"):
+    if _legacy_pallas(backend):
         from . import pallas_kernels as pk
         # all four inner products + Hessian moments in ONE kernel launch
         (pre_v, pre_n, post_v, post_n, fixed_v, fixed_n, moving_v, moving_n,
@@ -362,7 +396,7 @@ def compute_innerproduct_lc(fixed: PointCloud, moving: PointCloud,
     the moving cloud under four transforms against the fixed cloud, plus the
     post-Hessian (with inlier counts) for the CVO result and the second
     (pnpransac) prior."""
-    if backend.startswith("pallas"):
+    if _legacy_pallas(backend):
         fixed, moving = _pad128(fixed), _pad128(moving)
     x, fx, mx = fixed.positions, fixed.features, fixed.mask
     y, fy, my = moving.positions, moving.features, moving.mask
@@ -372,7 +406,7 @@ def compute_innerproduct_lc(fixed: PointCloud, moving: PointCloud,
     y_lcp2 = se3.transform_points(lc_prior_tran_2, y)
     y_lc = se3.transform_points(lc_tran, y)
 
-    if backend.startswith("pallas"):
+    if _legacy_pallas(backend):
         prior_v, _ = _ip(y_prior, fy, my, x, fx, mx, ell, p, backend)
         lcp_v, _ = _ip(y_lcp, fy, my, x, fx, mx, ell, p, backend)
         pre_v, _ = _ip(y, fy, my, x, fx, mx, ell, p, backend)

@@ -812,3 +812,134 @@ def ip_suite(x, fx, mx, y, fy, my, yt, ell, p: CvoParams):
 
     return (row[0], num(row[1]), row[2], num(row[3]), row[4], num(row[5]),
             row[6], num(row[7]), G, row[3].astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# moment-form per-iteration kernel (the fast align path)
+# ---------------------------------------------------------------------------
+# The flow_and_step kernel above evaluates the step-size Taylor factors
+# per PAIR on the VPU (beta/gamma/delta/epsil polynomials, ~100 flops/pair)
+# and gates through K=8 MXU dots — both far from this chip's roofline. This
+# kernel instead produces the 35-column moment matrix Mom[j, a] =
+# sum_i A_ij xt_i^alpha (the same reorganization the XLA path uses,
+# ops.pairwise.flow_and_step_moments): pairwise distances are exact-f32 VPU
+# broadcasts (no multi-pass MXU decomposition of a K=8 dot), the single
+# per-tile MXU contraction is a well-shaped K=tile dot, and the only HBM
+# traffic is the clouds + the (CAP, 128) moment output (~2 MB/iteration vs
+# the XLA path's ~3 materialized (N, M) arrays ~ 150 MB). The O(M) epilogue
+# (flow + quartic coefficients) runs in XLA via
+# pairwise.flow_and_step_from_moments — shared algebra, golden-tested.
+#
+# Measured (fetch-timed, axon v5e): 0.12 ms/iteration vs 0.31 for the XLA
+# moment path and 1.76 for the per-pair flow_and_step kernel (PERF_NOTES.md
+# round 4).
+
+def _moment_kernel(ell_ref, X, F, M, Y, FY, MY, U, out, s_scr,
+                   *, p: CvoParams, ts: int):
+    ell = ell_ref[0]
+    d2t, d2ct = _thresholds(ell, p)
+    cap = X.shape[1]
+    n_s = cap // ts
+    inv2l2 = 1.0 / (2.0 * ell * ell)
+    inv2cl2 = 1.0 / (2.0 * p.c_ell * p.c_ell)
+    s2cs2 = p.sigma * p.sigma * p.c_sigma * p.c_sigma
+
+    s_scr[:] = jnp.zeros((8, 128), jnp.float32)
+    out[:, :] = jnp.zeros((cap, 128), jnp.float32)
+
+    def strip(s, _):
+        xs = X[:, pl.ds(s * ts, ts)]
+        fs = F[:, pl.ds(s * ts, ts)]
+        ms = M[:, pl.ds(s * ts, ts)]
+        xt = xs.T                                    # (ts, 8)
+        ft = fs.T
+        mt = ms.T                                    # (ts, 1)
+        us = U[pl.ds(s * ts, ts), :]                 # (ts, 128)
+
+        def ytile(t, _):
+            ys = Y[:, pl.ds(t * ts, ts)]
+            fys = FY[:, pl.ds(t * ts, ts)]
+            mys = MY[:, pl.ds(t * ts, ts)]
+            # exact-f32 pairwise distances on the VPU (broadcast over the
+            # sublane x lane grid; no K=8 MXU dot, no bf16 decomposition)
+            d2 = jnp.zeros((ts, ts), jnp.float32)
+            for c in range(3):
+                diff = xt[:, c][:, None] - ys[c, :][None, :]
+                d2 = d2 + diff * diff
+            d2c = jnp.zeros((ts, ts), jnp.float32)
+            for c in range(5):
+                diff = ft[:, c][:, None] - fys[c, :][None, :]
+                d2c = d2c + diff * diff
+            gate = (d2 < d2t) & (d2c < d2ct) & (mt > 0) & (mys > 0)
+            # one fused exponential; clamp exact for every gated pair
+            # (see _pair_tile)
+            a = s2cs2 * jnp.exp(
+                jnp.maximum(-(d2 * inv2l2 + d2c * inv2cl2), -20.0))
+            keep = gate & (a > p.sp_thres)
+            A = jnp.where(keep, a, 0.0)
+            s_scr[:] = s_scr[:] + jnp.sum(
+                keep.astype(jnp.float32)) * jnp.ones((8, 128), jnp.float32)
+            # Mom[j, col] += sum_i A[i, j] * U[i, col]: K=ts MXU contraction
+            mom = jax.lax.dot_general(A, us, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32,
+                                      precision=jax.lax.Precision.HIGHEST)
+            out[pl.ds(t * ts, ts), :] = out[pl.ds(t * ts, ts), :] + mom
+            return 0
+
+        jax.lax.fori_loop(0, n_s, ytile, 0)
+        return 0
+
+    jax.lax.fori_loop(0, n_s, strip, 0)
+
+
+def _moment_kernel_outer(ell_ref, X, F, M, Y, FY, MY, U, out_mom, out_s,
+                         s_scr, *, p: CvoParams, ts: int):
+    _moment_kernel(ell_ref, X, F, M, Y, FY, MY, U, out_mom, s_scr, p=p, ts=ts)
+    out_s[:] = s_scr[:]
+
+
+@functools.partial(jax.jit, static_argnames=("p",))
+def moment_flow_step(x, y, fx, fy, mx, my, Upack, center, ell, p: CvoParams):
+    """One fused launch per align iteration: pairwise gates + kernel + the
+    35-moment contraction in VMEM, then the shared XLA epilogue. Returns
+    (omega, v, nnz, B, C, D, E) — same contract as pairwise.
+    flow_and_step_moments (non-bitwise: VPU f32 distances and the joint
+    exponential differ from the XLA path by ~1 ulp).
+
+    Upack: (CAP, 128) with columns 0:35 = step_moment_basis's U (zero-padded
+    to the lane width); center: the basis centroid."""
+    cap = x.shape[0]
+    ts = _tn(cap, pref=512)
+    X, F, M = _pack(x, fx, mx)
+    Y, FY, MY = _pack(y, fy, my)
+    ell = jnp.asarray(ell, jnp.float32)
+    full = lambda i: (0, 0)
+    Mom128, S = pl.pallas_call(
+        functools.partial(_moment_kernel_outer, p=p, ts=ts),
+        grid=(1,),
+        in_specs=[pl.BlockSpec((1,), lambda i: (0,),
+                               memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec((8, cap), full, memory_space=pltpu.VMEM)] * 2
+        + [pl.BlockSpec((1, cap), full, memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec((8, cap), full, memory_space=pltpu.VMEM)] * 2
+        + [pl.BlockSpec((1, cap), full, memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec((cap, 128), full, memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((cap, 128), full, memory_space=pltpu.VMEM),
+                   pl.BlockSpec((8, 128), full, memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((cap, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((8, 128), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32)],
+    )(ell.reshape(1), X, F, M, Y, FY, MY, Upack)
+    Mom = Mom128[:, :35]
+    nnz = S[0, 0].astype(jnp.int32)
+    return pairwise.flow_and_step_from_moments(Mom, y, center, ell, nnz, p)
+
+
+def pack_moment_basis(x, mx):
+    """(center, Upack) for moment_flow_step: step_moment_basis zero-padded
+    to the 128-lane width. Evaluated once per alignment (the fixed cloud
+    never moves, cvo.cpp:336-341) and carried as a loop constant."""
+    center, U = pairwise.step_moment_basis(x, mx)
+    cap = x.shape[0]
+    Upack = jnp.zeros((cap, 128), jnp.float32).at[:, :35].set(U)
+    return center, Upack

@@ -280,7 +280,15 @@ def flow_and_step_moments(x, y, ckg, U, center, ell, p: CvoParams):
     Mom = jax.lax.dot_general(A, U, (((0,), (0,)), ((), ())),
                               precision=jax.lax.Precision.HIGHEST)
     nnz = jnp.sum(keep)
+    return flow_and_step_from_moments(Mom, y, center, ell, nnz, p)
 
+
+def flow_and_step_from_moments(Mom, y, center, ell, nnz, p: CvoParams):
+    """Epilogue of the moment-form pass: (omega, v, B..E) from the moment
+    matrix Mom (M, 35). Split out so the fused Pallas moment kernel
+    (cvo.pallas_kernels.moment_kernel, which produces Mom with the pairwise
+    stage resident in VMEM) shares the exact same algebra as the XLA path.
+    All work here is O(M)-sized — no (N, M) temporaries."""
     # ---- flow (cvo.cpp:222-223) from the degree-<=1 columns -------------
     M0 = Mom[:, 0]
     M1 = Mom[:, 1:4]
@@ -293,7 +301,7 @@ def flow_and_step_moments(x, y, ckg, U, center, ell, p: CvoParams):
     omega = jnp.sum(jnp.cross(Dj, y), axis=0) / p.c
 
     # ---- step coefficients (cvo.cpp:239-315) ----------------------------
-    oh = jnp.zeros((3, 3), A.dtype)
+    oh = jnp.zeros((3, 3), Mom.dtype)
     oh = oh.at[0, 1].set(-omega[2]).at[0, 2].set(omega[1])
     oh = oh.at[1, 0].set(omega[2]).at[1, 2].set(-omega[0])
     oh = oh.at[2, 0].set(-omega[1]).at[2, 1].set(omega[0])

@@ -74,7 +74,7 @@ def _execute_frame(odo: Cvo, kfc: Cvo, cloud, pixels):
     assert ready, "cvo not initialized"
     ready = kfc.set_pcd(cloud, pixels)
     assert ready, "cvo not initialized"
-    if odo.backend.startswith("pallas"):
+    if engine._legacy_pallas(odo.backend):
         return _split_frame(odo, kfc)
     fut = engine.frame_step(
         odo.fixed, kfc.fixed, odo.moving, odo.R, odo.T,
@@ -152,7 +152,7 @@ class SpeculativeExecutor:
 
     def _frame(self, odo: Cvo, kfc: Cvo, cloud, pixels):
         from ..cvo import engine
-        if odo.backend.startswith("pallas"):
+        if engine._legacy_pallas(odo.backend):
             # no fused frame_step (megakernel fence must interleave between
             # alignments) and hence no speculation either
             self.spec = None
@@ -173,10 +173,10 @@ class SpeculativeExecutor:
             self.hits += 1
         else:
             self.misses += 1
-            fut = engine.frame_step(
+            fut = engine.start_host_transfer(engine.frame_step(
                 odo.fixed, kfc.fixed, odo.moving, odo.R, odo.T,
                 np.float32(odo.ell), kfc.transform.astype(np.float32),
-                np.float32(kfc.ell), odo.params, odo.backend)
+                np.float32(kfc.ell), odo.params, odo.backend))
         res1, _, res2, _, _ = fut
 
         # speculate the next frame (accept-assumed) BEFORE blocking
@@ -184,9 +184,14 @@ class SpeculativeExecutor:
             if self._speculation_enabled() else None
         if nxt is not None:
             ncloud, _ = nxt
-            nfut = engine.frame_step(
+            # start_host_transfer: the async copies begin the moment the
+            # speculative program finishes, so by the time the NEXT call
+            # blocks on this future the bytes are already host-side —
+            # without it every frame pays the serialized tunnel round-trip
+            # (~24 ms) even though the device finished long before
+            nfut = engine.start_host_transfer(engine.frame_step(
                 cloud, kfc.fixed, ncloud, res1.R, res1.T, res1.ell,
-                res2.transform, res2.ell, odo.params, odo.backend)
+                res2.transform, res2.ell, odo.params, odo.backend))
             self.spec = dict(fut=nfut, prev=cloud.positions,
                              kf=kfc.fixed.positions, cur=ncloud.positions)
 

@@ -90,14 +90,18 @@ def test_reset_initial_and_transform_roundtrip():
 
 
 def test_default_backend_selection(monkeypatch):
-    """Env override wins; the axon tunnel defaults to xla (its runtime
-    poisons Pallas re-dispatches, PERF_NOTES.md); plain CPU defaults to
-    xla."""
-    from cvo_slam_tpu.cvo.engine import default_backend
+    """Env override wins; TPUs (including the axon tunnel) default to the
+    moment-form Pallas kernel backend (static tile predicates, so the
+    tunnel's re-dispatch bug does not apply, PERF_NOTES.md round 4); plain
+    CPU defaults to xla."""
+    from cvo_slam_tpu.cvo.engine import default_backend, _legacy_pallas
     monkeypatch.setenv("CVO_SLAM_BACKEND", "pallas_iter")
     assert default_backend() == "pallas_iter"
+    monkeypatch.setenv("CVO_SLAM_BACKEND", "pallas_mom")
+    assert default_backend() == "pallas_mom"
     monkeypatch.delenv("CVO_SLAM_BACKEND", raising=False)
-    monkeypatch.setenv("JAX_PLATFORMS", "axon")
-    assert default_backend() == "xla"
-    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
     assert default_backend() == "xla"   # tests force the cpu platform
+    # pallas_mom runs the fused frame_step / speculation path, not the
+    # legacy split path
+    assert _legacy_pallas("pallas") and _legacy_pallas("pallas_iter")
+    assert not _legacy_pallas("pallas_mom") and not _legacy_pallas("xla")

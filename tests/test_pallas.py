@@ -359,3 +359,27 @@ def test_tile_skip_env_knob():
                                       np.asarray(a_off.transform))
     finally:
         pk.set_tile_skip(ambient)
+
+
+@pytest.mark.parametrize("ell", [0.15, 0.06])
+def test_moment_flow_step_parity(ell):
+    """The moment-form kernel (pallas_mom align path) vs the XLA moment
+    path: same flow/step outputs up to f32 rounding (VPU f32 distances and
+    the joint exponential vs two clamped exps), exactly equal nnz."""
+    x, fx, mx, y, fy, my = clouds(4)
+    ck = pairwise.color_kernel_gated(fx, fy, mx, my, P)
+    center, U = pairwise.step_moment_basis(x, mx)
+    ref = pairwise.flow_and_step_moments(x, y, ck, U, center,
+                                         jnp.float32(ell), P)
+    with pltpu.force_tpu_interpret_mode():
+        center2, Upack = pk.pack_moment_basis(x, mx)
+        got = pk.moment_flow_step(x, y, fx, fy, mx, my, Upack, center2,
+                                  jnp.float32(ell), P)
+    names = ("omega", "v", "nnz", "B", "C", "D", "E")
+    for name, g, r in zip(names, got, ref):
+        if name == "nnz":
+            assert int(g) == int(r), (int(g), int(r))
+        else:
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       rtol=2e-4, atol=1e-5,
+                                       err_msg=name)
