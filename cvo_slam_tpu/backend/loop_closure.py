@@ -83,10 +83,19 @@ def _verify_batch(reference: Keyframe, cands, params, backend: str):
         lcps[j] = lc_prior
     ell0 = np.full(cap, params.ell_init, np.float32)
 
-    # the per-iteration pallas path cannot vmap (ordered IO effects inside
-    # while_loop); the megakernel batches cleanly — same mapping as the
-    # lockstep multi-sequence executor
-    bk = "pallas" if backend.startswith("pallas") else backend
+    # the per-iteration pallas paths cannot vmap (ordered IO effects inside
+    # while_loop): pallas_mom falls back to the XLA moment path (vmaps
+    # cleanly, same algebra); the legacy pallas backends map to the
+    # megakernel — same mapping as the lockstep multi-sequence executor.
+    # (pallas_mom -> "pallas" would also re-expose the axon tunnel's
+    # re-dispatch bug with data-dependent tile-skip predicates, which took
+    # down a full-res record run mid-sequence: PERF_NOTES.md round 4.)
+    if backend == "pallas_mom":
+        bk = "xla"
+    elif backend.startswith("pallas"):
+        bk = "pallas"
+    else:
+        bk = backend
     res, lc = engine.lc_verify_batch(
         reference.cloud, movings, jnp.asarray(R0), jnp.asarray(T0),
         jnp.asarray(ell0), jnp.asarray(priors), jnp.asarray(lcps),

@@ -207,26 +207,28 @@ def bench_ba(n_poses, n_lm, iters, repeats, devices):
                                Kj, iters, 2.0), repeats)
     E1 = np.asarray(E1)
     rows = []
-    base = None
+    base = {}
     for n_dev in devices:
         mesh = Mesh(np.array(jax.devices()[:n_dev]), ("dp",))
         sharded, perm, per_dev = sharded_ba.shard_ba_problem(
             n_dev, L0, lm_mask, p_kf, p_lm, p_meas, p_w, p_mask,
             ei, ej, Z, om, pemask)
-        run, args = sharded_ba.make_ba_optimizer(
-            E0, free, sharded, Kj, iters, 2.0, mesh)
         E0j = jnp.asarray(E0)
-        t, (E2, _) = _time_steady(lambda: run(E0j, *args), repeats)
-        if base is None:
-            base = t
-        rows.append(dict(
-            devices=n_dev,
-            iters_per_s=round(iters / t, 2),
-            ms_per_call=round(t * 1e3, 2),
-            efficiency_vs_1dev=round(base / t, 3),
-            core_bound_ceiling=round(min(1.0, os.cpu_count() / n_dev), 3),
-            max_abs_pose_delta=float(np.max(np.abs(np.asarray(E2) - E1))),
-        ))
+        for solver in ("dense", "pcg"):
+            run, args = sharded_ba.make_ba_optimizer(
+                E0, free, sharded, Kj, iters, 2.0, mesh, solver=solver)
+            t, (E2, _) = _time_steady(lambda: run(E0j, *args), repeats)
+            if solver not in base:
+                base[solver] = t
+            rows.append(dict(
+                devices=n_dev,
+                solver=solver,
+                iters_per_s=round(iters / t, 2),
+                ms_per_call=round(t * 1e3, 2),
+                efficiency_vs_1dev=round(base[solver] / t, 3),
+                core_bound_ceiling=round(min(1.0, os.cpu_count() / n_dev), 3),
+                max_abs_pose_delta=float(np.max(np.abs(np.asarray(E2) - E1))),
+            ))
     return dict(problem=dict(poses=n_poses, landmarks=n_lm,
                              projection_edges=m, lm_iterations=iters),
                 single_device_ms=round(t1 * 1e3, 2), shards=rows)

@@ -30,9 +30,15 @@ from ..data.tum import ImagePair
 
 
 def _batch_backend(backend: str) -> str:
-    """Under vmap, the per-iteration pallas path is unusable (a pallas_call
-    inside lax.while_loop has ordered IO effects vmap rejects); the
-    whole-align megakernel batches cleanly (vmap prepends a grid dim)."""
+    """Under vmap, the per-iteration pallas paths are unusable (a
+    pallas_call inside lax.while_loop has ordered IO effects vmap rejects):
+    pallas_mom falls back to the XLA moment path (same algebra, vmaps
+    cleanly — and avoids re-exposing the axon tunnel's tile-skip
+    re-dispatch bug through the megakernel, PERF_NOTES.md round 4); the
+    legacy pallas backends use the whole-align megakernel (vmap prepends a
+    grid dim)."""
+    if backend == "pallas_mom":
+        return "xla"
     return "pallas" if backend.startswith("pallas") else backend
 
 
