@@ -186,7 +186,11 @@ def make_sequence(folder: str, cam: CameraConfig, n_frames: int = 12,
     # no-motion pixels — corrupting exactly the fast-motion challenge modes.
     # Dense splatting closes almost all holes; the few left stay INVALID
     # (depth 0, black), which the selector/ORB gates legitimately skip.
-    SS = 3
+    # extended worlds (extent > 1) use a 2x supersample: the splat cost
+    # scales with the world grid (extent^2 * SS^2 * H * W points per frame)
+    # and 2x is still >= 4 source points per target pixel; residual oblique-
+    # angle holes stay invalid (depth 0), which the selector/ORB gates skip
+    SS = 3 if extent == 1.0 else 2
     Hw, Ww = bgr0.shape[:2]
     Hs, Ws = Hw * SS, Ww * SS
     bgr_s = cv2.resize(bgr0, (Ws, Hs), interpolation=cv2.INTER_LINEAR)
