@@ -95,11 +95,16 @@ def _time_steady(fn, repeats):
     import jax
     out = fn()                      # compile + warmup
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
+    # best-of-N: this container's 2 shared cores make mean wall-clock rows
+    # noisy (background churn lands on arbitrary repeats); the minimum is
+    # the standard steady-state estimator on a shared host
+    best = float("inf")
     for _ in range(repeats):
+        t0 = time.perf_counter()
         out = fn()
         jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / repeats, out
+        best = min(best, time.perf_counter() - t0)
+    return best, out
 
 
 def bench_lm(n_poses, iters, repeats, devices):
