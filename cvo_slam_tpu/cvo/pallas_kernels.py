@@ -834,7 +834,20 @@ def ip_suite(x, fx, mx, y, fy, my, yt, ell, p: CvoParams):
 # moment path and 1.76 for the per-pair flow_and_step kernel (PERF_NOTES.md
 # round 4).
 
-def _moment_kernel(ell_ref, X, F, M, Y, FY, MY, U, out, s_scr,
+def moment_skip_enabled() -> bool:
+    """Spatial tile skipping for the moment kernel: CVO_SLAM_TILE_SKIP
+    semantics, but FORCED OFF on the axon tunnel regardless — pallas_mom is
+    the default TPU backend, and the tunnel runtime's re-dispatch bug with
+    data-dependent pl.when predicates (PERF_NOTES.md round 2; it took down
+    a full-res record when the LC batch landed on the skipping megakernel,
+    round 4) would otherwise poison every default run here. On healthy
+    runtimes Morton-AABB skipping removes 41-52% of tile pairs with
+    bitwise-equal results (skipped tiles contain no gated pair)."""
+    import os
+    return _TILE_SKIP and "axon" not in os.environ.get("JAX_PLATFORMS", "")
+
+
+def _moment_kernel(ell_ref, skip_ref, X, F, M, Y, FY, MY, U, out, s_scr,
                    *, p: CvoParams, ts: int):
     ell = ell_ref[0]
     d2t, d2ct = _thresholds(ell, p)
@@ -857,33 +870,37 @@ def _moment_kernel(ell_ref, X, F, M, Y, FY, MY, U, out, s_scr,
         us = U[pl.ds(s * ts, ts), :]                 # (ts, 128)
 
         def ytile(t, _):
-            ys = Y[:, pl.ds(t * ts, ts)]
-            fys = FY[:, pl.ds(t * ts, ts)]
-            mys = MY[:, pl.ds(t * ts, ts)]
-            # exact-f32 pairwise distances on the VPU (broadcast over the
-            # sublane x lane grid; no K=8 MXU dot, no bf16 decomposition)
-            d2 = jnp.zeros((ts, ts), jnp.float32)
-            for c in range(3):
-                diff = xt[:, c][:, None] - ys[c, :][None, :]
-                d2 = d2 + diff * diff
-            d2c = jnp.zeros((ts, ts), jnp.float32)
-            for c in range(5):
-                diff = ft[:, c][:, None] - fys[c, :][None, :]
-                d2c = d2c + diff * diff
-            gate = (d2 < d2t) & (d2c < d2ct) & (mt > 0) & (mys > 0)
-            # one fused exponential; clamp exact for every gated pair
-            # (see _pair_tile)
-            a = s2cs2 * jnp.exp(
-                jnp.maximum(-(d2 * inv2l2 + d2c * inv2cl2), -20.0))
-            keep = gate & (a > p.sp_thres)
-            A = jnp.where(keep, a, 0.0)
-            s_scr[:] = s_scr[:] + jnp.sum(
-                keep.astype(jnp.float32)) * jnp.ones((8, 128), jnp.float32)
-            # Mom[j, col] += sum_i A[i, j] * U[i, col]: K=ts MXU contraction
-            mom = jax.lax.dot_general(A, us, (((0,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32,
-                                      precision=jax.lax.Precision.HIGHEST)
-            out[pl.ds(t * ts, ts), :] = out[pl.ds(t * ts, ts), :] + mom
+            @pl.when(skip_ref[s * n_s + t] > 0)
+            def _():
+                ys = Y[:, pl.ds(t * ts, ts)]
+                fys = FY[:, pl.ds(t * ts, ts)]
+                mys = MY[:, pl.ds(t * ts, ts)]
+                # exact-f32 pairwise distances on the VPU (broadcast over
+                # the sublane x lane grid; no K=8 MXU dot, no bf16
+                # decomposition)
+                d2 = jnp.zeros((ts, ts), jnp.float32)
+                for c in range(3):
+                    diff = xt[:, c][:, None] - ys[c, :][None, :]
+                    d2 = d2 + diff * diff
+                d2c = jnp.zeros((ts, ts), jnp.float32)
+                for c in range(5):
+                    diff = ft[:, c][:, None] - fys[c, :][None, :]
+                    d2c = d2c + diff * diff
+                gate = (d2 < d2t) & (d2c < d2ct) & (mt > 0) & (mys > 0)
+                # one fused exponential; clamp exact for every gated pair
+                # (see _pair_tile)
+                a = s2cs2 * jnp.exp(
+                    jnp.maximum(-(d2 * inv2l2 + d2c * inv2cl2), -20.0))
+                keep = gate & (a > p.sp_thres)
+                A = jnp.where(keep, a, 0.0)
+                s_scr[:] = s_scr[:] + jnp.sum(
+                    keep.astype(jnp.float32)) * jnp.ones((8, 128),
+                                                         jnp.float32)
+                # Mom[j, col] += sum_i A[i, j] U[i, col]: K=ts contraction
+                mom = jax.lax.dot_general(A, us, (((0,), (0,)), ((), ())),
+                                          preferred_element_type=jnp.float32,
+                                          precision=jax.lax.Precision.HIGHEST)
+                out[pl.ds(t * ts, ts), :] = out[pl.ds(t * ts, ts), :] + mom
             return 0
 
         jax.lax.fori_loop(0, n_s, ytile, 0)
@@ -892,14 +909,16 @@ def _moment_kernel(ell_ref, X, F, M, Y, FY, MY, U, out, s_scr,
     jax.lax.fori_loop(0, n_s, strip, 0)
 
 
-def _moment_kernel_outer(ell_ref, X, F, M, Y, FY, MY, U, out_mom, out_s,
-                         s_scr, *, p: CvoParams, ts: int):
-    _moment_kernel(ell_ref, X, F, M, Y, FY, MY, U, out_mom, s_scr, p=p, ts=ts)
+def _moment_kernel_outer(ell_ref, skip_ref, X, F, M, Y, FY, MY, U, out_mom,
+                         out_s, s_scr, *, p: CvoParams, ts: int):
+    _moment_kernel(ell_ref, skip_ref, X, F, M, Y, FY, MY, U, out_mom, s_scr,
+                   p=p, ts=ts)
     out_s[:] = s_scr[:]
 
 
-@functools.partial(jax.jit, static_argnames=("p",))
-def moment_flow_step(x, y, fx, fy, mx, my, Upack, center, ell, p: CvoParams):
+@functools.partial(jax.jit, static_argnames=("p", "ts"))
+def moment_flow_step(x, y, fx, fy, mx, my, Upack, center, ell, p: CvoParams,
+                     ts: int = 0):
     """One fused launch per align iteration: pairwise gates + kernel + the
     35-moment contraction in VMEM, then the shared XLA epilogue. Returns
     (omega, v, nnz, B, C, D, E) — same contract as pairwise.
@@ -909,15 +928,23 @@ def moment_flow_step(x, y, fx, fy, mx, my, Upack, center, ell, p: CvoParams):
     Upack: (CAP, 128) with columns 0:35 = step_moment_basis's U (zero-padded
     to the lane width); center: the basis centroid."""
     cap = x.shape[0]
-    ts = _tn(cap, pref=512)
+    ts = ts or _tn(cap, pref=512)
     X, F, M = _pack(x, fx, mx)
     Y, FY, MY = _pack(y, fy, my)
     ell = jnp.asarray(ell, jnp.float32)
+    if moment_skip_enabled():
+        # Morton-AABB tile skipping (bitwise-exact: a skipped tile has no
+        # pair inside the gate radius, so its A/keep contributions are 0)
+        skip = _skip_flags(x, mx, y, my, ell, ts, p)
+    else:
+        skip = jnp.ones(((cap // ts) ** 2,), jnp.int32)
     full = lambda i: (0, 0)
     Mom128, S = pl.pallas_call(
         functools.partial(_moment_kernel_outer, p=p, ts=ts),
         grid=(1,),
         in_specs=[pl.BlockSpec((1,), lambda i: (0,),
+                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec(((cap // ts) ** 2,), lambda i: (0,),
                                memory_space=pltpu.SMEM)]
         + [pl.BlockSpec((8, cap), full, memory_space=pltpu.VMEM)] * 2
         + [pl.BlockSpec((1, cap), full, memory_space=pltpu.VMEM)]
@@ -929,7 +956,7 @@ def moment_flow_step(x, y, fx, fy, mx, my, Upack, center, ell, p: CvoParams):
         out_shape=[jax.ShapeDtypeStruct((cap, 128), jnp.float32),
                    jax.ShapeDtypeStruct((8, 128), jnp.float32)],
         scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32)],
-    )(ell.reshape(1), X, F, M, Y, FY, MY, Upack)
+    )(ell.reshape(1), skip, X, F, M, Y, FY, MY, Upack)
     Mom = Mom128[:, :35]
     nnz = S[0, 0].astype(jnp.int32)
     return pairwise.flow_and_step_from_moments(Mom, y, center, ell, nnz, p)

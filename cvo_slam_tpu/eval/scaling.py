@@ -122,26 +122,29 @@ def bench_lm(n_poses, iters, repeats, devices):
     E1 = np.asarray(E1)
     ncpu = os.cpu_count()
     rows = []
-    base = None
+    base = {}
     for n_dev in devices:
         mesh = Mesh(np.array(jax.devices()[:n_dev]), ("dp",))
-        run = sharded_lm.make_sharded_optimizer(g, mesh, iters,
-                                                robust_delta=2.0)
-        t, (E2, c2) = _time_steady(lambda: run(g.E), repeats)
-        if base is None:
-            base = t
-        rows.append(dict(
-            devices=n_dev,
-            iters_per_s=round(iters / t, 2),
-            ms_per_call=round(t * 1e3, 2),
-            efficiency_vs_1dev=round(base / (t * 1), 3),
-            # on virtual devices the host core count caps achievable
-            # efficiency at host_cpus/n_dev; real chips have no such cap
-            core_bound_ceiling=round(min(1.0, ncpu / n_dev), 3),
-            max_abs_pose_delta=float(np.max(np.abs(np.asarray(E2) - E1))),
-            chi2_rel_delta=float(abs(float(c2) - float(c1))
-                                 / max(abs(float(c1)), 1e-12)),
-        ))
+        for solver in ("dense", "pcg"):
+            run = sharded_lm.make_sharded_optimizer(g, mesh, iters,
+                                                    robust_delta=2.0,
+                                                    solver=solver)
+            t, (E2, c2) = _time_steady(lambda: run(g.E), repeats)
+            if solver not in base:
+                base[solver] = t
+            rows.append(dict(
+                devices=n_dev,
+                solver=solver,
+                iters_per_s=round(iters / t, 2),
+                ms_per_call=round(t * 1e3, 2),
+                efficiency_vs_1dev=round(base[solver] / t, 3),
+                # on virtual devices the host core count caps achievable
+                # efficiency at host_cpus/n_dev; real chips have no such cap
+                core_bound_ceiling=round(min(1.0, ncpu / n_dev), 3),
+                max_abs_pose_delta=float(np.max(np.abs(np.asarray(E2) - E1))),
+                chi2_rel_delta=float(abs(float(c2) - float(c1))
+                                     / max(abs(float(c1)), 1e-12)),
+            ))
     return dict(problem=dict(poses=n_poses, edges=int(g.ei.shape[0]),
                              lm_iterations=iters),
                 single_device_ms=round(t1 * 1e3, 2), shards=rows)

@@ -66,19 +66,32 @@ def _chi2_shard(E, ei, ej, Z, omega, emask, delta):
 
 
 def optimize_sharded(g: lm.PoseGraph, mesh: Mesh, iterations: int,
-                     robust_delta: float = 0.0, axis: str = "dp"):
+                     robust_delta: float = 0.0, axis: str = "dp",
+                     solver: str = "dense"):
     """Edge-sharded LM over `mesh`. Semantics match backend.lm.optimize."""
     return make_sharded_optimizer(g, mesh, iterations, robust_delta,
-                                  axis)(g.E)
+                                  axis, solver)(g.E)
 
 
 def make_sharded_optimizer(g: lm.PoseGraph, mesh: Mesh, iterations: int,
-                           robust_delta: float = 0.0, axis: str = "dp"):
+                           robust_delta: float = 0.0, axis: str = "dp",
+                           solver: str = "dense"):
     """Build a reusable jitted optimizer E0 -> (E_opt, chi2) for this graph
     topology/mesh (compile once, call many times — used by the scaling
     harness, eval.scaling). Semantics match backend.lm.optimize (same
     damping schedule); edges are padded with masked entries so the shard
-    count divides the edge count."""
+    count divides the edge count.
+
+    solver='dense': psum the full (V,V,6,6) normal equations and solve the
+    damped (6V)^2 system replicated — right for small graphs (windowed BA
+    scale, mirroring g2o's dense solve in local_map.cpp:85-92).
+
+    solver='pcg': the per-shard H never leaves its device — the normal-
+    equation matvec is applied shard-locally and only the (V,6) product is
+    psummed per CG iteration (SURVEY section 5.8's distributed-PCG
+    prescription for the large-graph regime). Block-Jacobi preconditioner
+    from the psummed 6x6 diagonal. Equality vs dense is tested in
+    tests/test_sharded_lm.py."""
     n_dev = mesh.shape[axis]
     M = g.ei.shape[0]
     pad = (-M) % n_dev
@@ -114,6 +127,23 @@ def make_sharded_optimizer(g: lm.PoseGraph, mesh: Mesh, iterations: int,
     def total_chi2(E, ei_s, ej_s, Z_s, om_s, em_s):
         return jax.lax.psum(_chi2_shard(E, ei_s, ej_s, Z_s, om_s, em_s, delta),
                             axis)
+
+    # pcg mode: the shard-local H stays on its device (out_specs sharded);
+    # matvec psums only the (V,6) product
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(rep, espec, espec, espec, espec, espec),
+             out_specs=(P(axis), rep, rep, rep))
+    def normal_eq_local(E, ei_s, ej_s, Z_s, om_s, em_s):
+        H, b, chi2 = _partial_normal_equations(E, ei_s, ej_s, Z_s, om_s, em_s,
+                                               free, delta)
+        diag = jax.lax.psum(jnp.einsum("vvab->vab", H), axis)
+        return (H[None], jax.lax.psum(b, axis), diag,
+                jax.lax.psum(chi2, axis))
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P(axis), rep),
+             out_specs=rep)
+    def H_matvec(Hs, x):
+        return jax.lax.psum(jnp.einsum("vuab,ub->va", Hs[0], x), axis)
 
     fm = free
 
@@ -157,4 +187,86 @@ def make_sharded_optimizer(g: lm.PoseGraph, mesh: Mesh, iterations: int,
             None, length=iterations)
         return E_opt, total_chi2(E_opt, ei, ej, Z, om, emask)
 
-    return run
+    eye6 = jnp.eye(6, dtype=g.E.dtype)
+
+    @jax.jit
+    def run_pcg(E0):
+        def pcg_solve(Hs, diag, b, lam):
+            """Matrix-free damped solve on the free subspace; one (V,6)
+            psum per CG iteration (inside H_matvec)."""
+            def matvec(xv):
+                xt = xv * fm[:, None]
+                Sx = H_matvec(Hs, xt) + lam * xt
+                return Sx * fm[:, None] + xv * (1.0 - fm)[:, None]
+
+            Dv = diag + lam * eye6[None]
+            Dv = jnp.where(fm[:, None, None] > 0, Dv, eye6[None])
+            Dinv = jnp.nan_to_num(jnp.linalg.inv(Dv))
+
+            def prec(r):
+                return jnp.einsum("vab,vb->va", Dinv, r)
+
+            tol2 = jnp.asarray(1e-10, b.dtype) * jnp.maximum(
+                jnp.sum(b * b), 1e-30)
+            x0 = jnp.zeros_like(b)
+            z0 = prec(b)
+
+            def cg_cond(c):
+                k, _, r, _, _, _ = c
+                return (k < 6 * V) & (jnp.sum(r * r) > tol2)
+
+            def cg_body(c):
+                k, xv, r, z, pv, rz = c
+                Ap = matvec(pv)
+                alpha = rz / jnp.maximum(jnp.sum(pv * Ap), 1e-30)
+                xv = xv + alpha * pv
+                r = r - alpha * Ap
+                z = prec(r)
+                rz_new = jnp.sum(r * z)
+                beta = rz_new / jnp.maximum(rz, 1e-30)
+                return (k + 1, xv, r, z, z + beta * pv, rz_new)
+
+            _, xv, _, _, _, _ = jax.lax.while_loop(
+                cg_cond, cg_body,
+                (jnp.array(0), x0, b, z0, z0, jnp.sum(b * z0)))
+            return jnp.nan_to_num(xv) * fm[:, None]
+
+        def outer(carry, _):
+            E, lam, ni = carry
+            Hs, b, diag, chi2 = normal_eq_local(E, ei, ej, Z, om, emask)
+            b = b * fm[:, None]
+            lam = jnp.where(
+                lam < 0, 1e-5 * jnp.max(jnp.abs(
+                    jnp.einsum("vaa->va", diag))), lam)
+
+            def trial_body(c2):
+                E_cur, lam, ni, done = c2
+                dx = pcg_solve(Hs, diag, b, lam)
+                E_try = se3.exp_se3(dx) @ E
+                chi2_new = total_chi2(E_try, ei, ej, Z, om, emask)
+                rho = (chi2 - chi2_new) / (jnp.sum(dx * (lam * dx + b))
+                                           + 1e-3)
+                accept = (rho > 0) & jnp.isfinite(chi2_new)
+                lam_n = jnp.where(
+                    accept, lam * jnp.maximum(1 / 3, 1 - (2 * rho - 1) ** 3),
+                    lam * ni)
+                ni_n = jnp.where(accept, 2.0, ni * 2.0)
+                return (jnp.where(accept, E_try, E_cur), lam_n, ni_n, accept)
+
+            def trial(c2, _):
+                # `done` is replicated (derived from psummed scalars), so
+                # every device takes the same branch and skipping the
+                # collectives inside is legal (bit-exact: the skipped body
+                # changed nothing)
+                return jax.lax.cond(c2[3], lambda c: c, trial_body, c2), None
+
+            (E_new, lam, ni, _), _ = jax.lax.scan(
+                trial, (E, lam, ni, jnp.array(False)), None, length=10)
+            return (E_new, lam, ni), None
+
+        (E_opt, _, _), _ = jax.lax.scan(
+            outer, (E0, jnp.array(-1.0, E0.dtype), jnp.array(2.0, E0.dtype)),
+            None, length=iterations)
+        return E_opt, total_chi2(E_opt, ei, ej, Z, om, emask)
+
+    return run_pcg if solver == "pcg" else run

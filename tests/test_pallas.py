@@ -383,3 +383,33 @@ def test_moment_flow_step_parity(ell):
             np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                        rtol=2e-4, atol=1e-5,
                                        err_msg=name)
+
+
+@pytest.mark.parametrize("ell", [0.15, 0.06])
+def test_moment_kernel_skipping_exactness(ell):
+    """Morton-AABB skipping in the moment kernel must be bitwise-exact:
+    skipped tiles contain no gated pair, so their A/keep contributions are
+    zero (same argument as the legacy kernels)."""
+    x, fx, mx, y, fy, my = _morton_clouds(17)
+    skip = np.asarray(pk._skip_flags(x, mx, y, my, jnp.float32(ell), 128, P))
+    assert skip.min() == 0 and skip.max() == 1
+
+    center, Upack = pk.pack_moment_basis(x, mx)
+
+    def run(force_skip_on):
+        orig = pk.moment_skip_enabled
+        pk.moment_skip_enabled = lambda: force_skip_on
+        pk.moment_flow_step.clear_cache()
+        try:
+            with pltpu.force_tpu_interpret_mode():
+                return pk.moment_flow_step(x, y, fx, fy, mx, my, Upack,
+                                           center, jnp.float32(ell), P,
+                                           ts=128)
+        finally:
+            pk.moment_skip_enabled = orig
+            pk.moment_flow_step.clear_cache()
+
+    got = run(True)
+    ref = run(False)
+    for g, r in zip(got, ref):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(r))

@@ -37,3 +37,21 @@ def test_sharded_converges_to_truth():
     E_opt, chi2 = sharded_lm.optimize_sharded(g, _mesh(4), 15)
     assert float(chi2) < 1e-8
     np.testing.assert_allclose(np.asarray(E_opt)[:8], E_true, atol=1e-3)
+
+
+def test_sharded_lm_pcg_matches_dense():
+    """Matrix-free distributed-PCG normal-equation solve (shard-local H,
+    one (V,6) psum per CG iteration) vs the dense replicated solve: same
+    damping trajectory, same optimum, at 1 and 4 shards."""
+    rng = np.random.default_rng(2)
+    g, poses, E_true = build_chain(rng, 10, noise=0.01)
+    for n_dev in (1, 4):
+        Ed, cd = sharded_lm.optimize_sharded(g, _mesh(n_dev), 10,
+                                             robust_delta=2.0,
+                                             solver="dense")
+        Ep, cp = sharded_lm.optimize_sharded(g, _mesh(n_dev), 10,
+                                             robust_delta=2.0, solver="pcg")
+        np.testing.assert_allclose(float(cd), float(cp), rtol=1e-3,
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(Ed), np.asarray(Ep),
+                                   rtol=1e-3, atol=1e-4)
