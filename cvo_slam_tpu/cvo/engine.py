@@ -157,8 +157,9 @@ def align(fixed: PointCloud, moving: PointCloud, R0, T0, ell0,
     """RKHS-SE(3) gradient-flow registration (cvo.cpp:763-821).
 
     backend: 'xla' (dense masked jnp ops), 'pallas' (whole-align megakernel,
-    ONE launch per alignment), or 'pallas_iter' (one fused launch per
-    iteration with the loop in XLA — the fallback/batched path)."""
+    ONE launch per alignment), 'pallas_iter' (per-pair fused launch per
+    iteration with the loop in XLA), or 'pallas_mom' (moment-form kernel
+    per iteration — the TPU default, see pallas_kernels.moment_flow_step)."""
     if backend == "pallas":
         from . import pallas_align
         res = pallas_align.align_fused(_pad128(fixed), _pad128(moving),
