@@ -3,7 +3,7 @@
 Measures the per-frame device work of the tracking pipeline — two CVO
 registrations (odometry + keyframe) each followed by the inner-product /
 Hessian pass — on real point clouds produced by the frontend from a synthetic
-TUM-format scene (capacity 3584, ~3000 valid points, the reference workload
+TUM-format scene (capacity 3072, ~3000 valid points, the reference workload
 shape: SURVEY.md section 6).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
@@ -66,6 +66,52 @@ def build_bench_host_clouds(cam, cfg):
         pc = create_pointcloud(bgr, gray, depth, cam, cfg.frontend)
         host_clouds.append(pc)
         G = step @ G
+    return host_clouds
+
+
+def build_parity_host_clouds(cam, cfg, n=32):
+    """Clouds along an oscillating trajectory (direction-changing per-frame
+    motion, peak comparable to the headline workload's step) for the
+    tracker-parity row: warm-started frames, like the real tracker. The
+    oscillation matters — on a constant-velocity path the warm start equals
+    the solution and align converges in ~1 iteration, overstating fps."""
+    from cvo_slam_tpu.data.synthetic import _base_scene
+    from cvo_slam_tpu.frontend.pointcloud import create_pointcloud
+    from cvo_slam_tpu.ops import se3
+    import jax.numpy as jnp
+    import cv2
+
+    rng = np.random.default_rng(7)
+    bgr0, z0 = _base_scene(cam, rng)
+    H, W = cam.height, cam.width
+    fx, fy, cx, cy = cam.fx, cam.fy, cam.cx, cam.cy
+    amp = np.array([0.05, -0.06, 0.03, 0.08, -0.05, 0.06], np.float32)
+    ys, xs = np.mgrid[0:H, 0:W]
+    P0 = np.stack([(xs - cx) * z0 / fx, (ys - cy) * z0 / fy, z0],
+                  -1).reshape(-1, 3)
+    host_clouds = []
+    for k in range(n):
+        G = np.asarray(se3.exp_se3(jnp.asarray(
+            amp * np.sin(2.0 * np.pi * k / 14.0))), np.float64)
+        if k == 0:
+            bgr, depth = bgr0, (z0 * cam.depth_factor).astype(np.uint16)
+        else:
+            Pw = P0 @ G[:3, :3].T + G[:3, 3]
+            u = (Pw[:, 0] / Pw[:, 2] * fx + cx).reshape(H, W)
+            v = (Pw[:, 1] / Pw[:, 2] * fy + cy).reshape(H, W)
+            m = (u >= 0) & (u < W - 1) & (v >= 0) & (v < H - 1)
+            bgr = np.zeros_like(bgr0)
+            depth = np.zeros((H, W), np.uint16)
+            ui, vi = u[m].astype(int), v[m].astype(int)
+            bgr[vi, ui] = bgr0[ys[m], xs[m]]
+            depth[vi, ui] = (Pw[:, 2].reshape(H, W)[m] * cam.depth_factor
+                             ).astype(np.uint16)
+            holes = depth == 0
+            bgr[holes] = bgr0[holes]
+            depth[holes] = (z0[holes] * cam.depth_factor).astype(np.uint16)
+        gray = cv2.cvtColor(bgr, cv2.COLOR_RGB2GRAY)
+        host_clouds.append(create_pointcloud(bgr, gray, depth, cam,
+                                             cfg.frontend))
     return host_clouds
 
 
@@ -190,10 +236,66 @@ def _measure():
         f"-> <= {ms_frame / max(iters_frame, 1):.3f} ms/align-iter incl. "
         f"the 2 innerproduct suites)")
 
+    # tracker-parity row (VERDICT r4 next 2c): warm-started frames on an
+    # oscillating trajectory — the schedule the real tracker runs (odometry
+    # align warm-started from the previous frame's device result, keyframe
+    # transform chained, keyframe re-seated every 6 frames). The headline
+    # stays the identity-start workload (the same one the C++ reference
+    # replica runs); this row records what tracking actually costs.
+    parity = None
     if fused:
-        tile_skip = None      # tile skipping is a legacy-pallas mechanism
+        try:
+            import collections
+            pclouds = [engine.PointCloud.from_host(pc)
+                       for pc in build_parity_host_clouds(cam, cfg)]
+            D = 2
+            pend = collections.deque()
+            R_prev, T_prev, ell_prev = eye3, zero3, ell
+            T1_prev = eye4
+            kfT, ell_kf = eye4, ell
+            kf_idx = 0
+            n_fr = len(pclouds) - 1
+            times_p, iters_p = [], []
+            t_prev = time.perf_counter()
+            for i in range(n_fr + D):
+                if i < n_fr:
+                    if i > 0 and i % 6 == 0:
+                        kf_idx = i          # previous frame becomes keyframe
+                        kfT = T1_prev       # reset_keyframe: transform <- odometry
+                    fut = engine.start_host_transfer(engine.frame_step(
+                        pclouds[i], pclouds[kf_idx], pclouds[i + 1],
+                        R_prev, T_prev, ell_prev, kfT, ell_kf, p, backend))
+                    res1, _, res2, _, _ = fut
+                    R_prev, T_prev, ell_prev = res1.R, res1.T, res1.ell
+                    T1_prev = res1.transform
+                    kfT, ell_kf = res2.transform, res2.ell
+                    pend.append(fut)
+                if len(pend) > D or (i >= n_fr and pend):
+                    out_p = jax.device_get(pend.popleft())
+                    t_now = time.perf_counter()
+                    times_p.append(t_now - t_prev)
+                    t_prev = t_now
+                    iters_p.append(int(out_p[0].iters) + int(out_p[2].iters))
+            k2 = max(3, len(times_p) // 2)
+            bp = sorted(times_p)[:k2]
+            msf = sum(bp) / len(bp) * 1e3
+            parity = dict(
+                fps=round(1000.0 / msf, 3), ms_per_frame=round(msf, 2),
+                mean_align_iters=round(sum(iters_p) / len(iters_p), 1),
+                frames_measured=len(times_p))
+            log(f"tracker-parity: {parity['fps']:.2f} fps "
+                f"({msf:.1f} ms/frame, {parity['mean_align_iters']} mean "
+                f"align iters, warm-started)")
+        except Exception as e:  # noqa: BLE001 — parity row is best-effort
+            log(f"tracker-parity row failed: {str(e).splitlines()[0]}")
+
+    from cvo_slam_tpu.cvo import pallas_kernels as _pk
+    if backend == "pallas_mom":
+        tile_skip = _pk.moment_skip_enabled()  # Morton-AABB skip state of
+        # the moment kernel (forced off on the axon tunnel)
+    elif backend == "xla":
+        tile_skip = None      # the XLA path has no tile-skip mechanism
     else:
-        from cvo_slam_tpu.cvo import pallas_kernels as _pk
         tile_skip = _pk.skip_enabled()
     # vs_baseline: fps / measured reference-replica fps on this host
     # (REF_BASELINE.json, produced by tools/measure_reference_baseline.py —
@@ -221,6 +323,8 @@ def _measure():
         "align_iters_per_frame": iters_frame,
         "ms_per_align_iter_upper": round(ms_frame / max(iters_frame, 1), 4),
     }
+    if parity is not None:
+        out_json["tracker_parity"] = parity
     if ref:
         out_json["baseline"] = {
             "kind": "reference_cpp_replica", "fps": ref["fps"],
@@ -247,14 +351,17 @@ def main():
     #   completes, so a defensible number lands within the first child even
     #   if the tunnel later flakes (in round 3 the pallas+skip child burned
     #   its whole budget failing warmups before xla ever ran)
-    # - pallas_mom: the moment-form Pallas kernel in the align loop (static
-    #   tile predicates; immune to the tunnel's re-dispatch bug)
-    # - pallas + skip: megakernel with spatial tile skipping — fast on a
-    #   healthy runtime, but dies on the axon tunnel's re-dispatch bug with
-    #   data-dependent skip predicates (PERF_NOTES.md)
-    # All configs run; the best salvaged fps wins.
-    for backend, skip in (("xla", "1"), ("pallas_mom", "1"),
-                          ("pallas", "1"), ("pallas", "0")):
+    # - pallas_mom: the moment-form Pallas kernel in the align loop — the
+    #   measured winner on v5e (PERF_NOTES.md round 4)
+    # The legacy per-pair backends (megakernel 'pallas' / 'pallas_iter') are
+    # retired from the default sweep: both measured ~10x slower than
+    # pallas_mom AND their skip variant burns two failed warmups per run on
+    # the axon tunnel (VERDICT r4 weak 4). CVO_BENCH_LEGACY=1 re-adds them
+    # (parity tests still cover the kernels).
+    configs = [("xla", "1"), ("pallas_mom", "1")]
+    if os.environ.get("CVO_BENCH_LEGACY") == "1":
+        configs += [("pallas", "1"), ("pallas", "0")]
+    for backend, skip in configs:
         env = dict(os.environ, CVO_BENCH_CHILD="1", PYTHONUNBUFFERED="1",
                    CVO_SLAM_BACKEND=backend, CVO_SLAM_TILE_SKIP=skip)
         try:

@@ -25,10 +25,29 @@ from ..data import tum
 from ..tracking.keyframe_tracker import KeyframeTracker
 
 
-def build_tracker(cam, cfg, verbose=False, vocabulary_path=""):
+def _make_mesh(mesh_devices: int):
+    """Build a 1-axis jax.sharding.Mesh over the first `mesh_devices`
+    devices (SURVEY 5.8 mesh-mode). Errors out clearly when the runtime has
+    fewer devices — on a single-chip host run with JAX_PLATFORMS=cpu and
+    --mesh N (the CLI raises jax_num_cpu_devices accordingly)."""
+    import jax
+    import numpy as np
+    devs = jax.devices()
+    if len(devs) < mesh_devices:
+        raise RuntimeError(
+            f"--mesh {mesh_devices} needs {mesh_devices} devices but the "
+            f"runtime has {len(devs)} ({devs[0].platform}); run on a pod "
+            f"slice, or force a virtual CPU mesh with --platform cpu")
+    from jax.sharding import Mesh
+    return Mesh(np.array(devs[:mesh_devices]), ("dp",))
+
+
+def build_tracker(cam, cfg, verbose=False, vocabulary_path="",
+                  mesh_devices: int = 0):
     if cfg.OnlyTracking:
         return KeyframeTracker(cam, cfg, graph=None, verbose=verbose)
     from ..backend.keyframe_graph import KeyframeGraph
+    mesh = _make_mesh(mesh_devices) if mesh_devices else None
     feature_hook = None
     loop_detector = None
     windowed_ba = None
@@ -39,7 +58,7 @@ def build_tracker(cam, cfg, verbose=False, vocabulary_path=""):
         feature_hook = keyframe_feature_hook(cam, cfg, vocabulary_path)
         loop_detector = make_loop_detector(
             cam, cfg, vocabulary=getattr(feature_hook, "voc", None))
-        windowed_ba = make_windowed_ba(cam, cfg)
+        windowed_ba = make_windowed_ba(cam, cfg, mesh=mesh)
     except ImportError as exc:
         # sparse-feature layer unavailable: degrade to pose-graph-only
         # backend, but never silently (a typo inside features/ must not turn
@@ -51,7 +70,34 @@ def build_tracker(cam, cfg, verbose=False, vocabulary_path=""):
             RuntimeWarning, stacklevel=2)
     graph = KeyframeGraph(cam, cfg, loop_detector=loop_detector,
                           windowed_ba=windowed_ba,
-                          log=print if verbose else None)
+                          log=print if verbose else None, mesh=mesh)
+    # pre-compile the keyframe-event executables (LC verification buckets,
+    # windowed-BA size classes) on a background thread: the first keyframe
+    # events then find warm executables instead of paying the multi-second
+    # remote compile inline. The jit cache is process-wide and thread-safe;
+    # if an event fires before warmup finishes it simply blocks on the same
+    # compile it would have started itself.
+    import threading
+
+    def _warm():
+        try:
+            if loop_detector is not None:
+                loop_detector.warmup()
+            if windowed_ba is not None and mesh is None:
+                windowed_ba.warmup()   # mesh mode uses the sharded solver
+        except Exception:   # noqa: BLE001 — warmup is best-effort
+            pass
+
+    # warm only where it pays: on accelerators the compiles run in a REMOTE
+    # compile service (the tunnel's multi-second latency is the whole
+    # problem), so background warmup is free parallelism; on CPU the
+    # compiles run on the same cores as tracking and would fight it.
+    # CVO_SLAM_WARMUP=0/1 overrides.
+    import os
+    env = os.environ.get("CVO_SLAM_WARMUP", "")
+    import jax
+    if env == "1" or (env != "0" and jax.default_backend() != "cpu"):
+        threading.Thread(target=_warm, daemon=True).start()
     if cfg.UseMultiThreading:
         # working replacement for the reference's broken TBB pipeline
         # (keyframe_graph.cpp:2091-2095): backend consumes completed local
@@ -64,7 +110,7 @@ def build_tracker(cam, cfg, verbose=False, vocabulary_path=""):
 
 def run(folder: str, association: str, cam_name, cfg: SlamConfig,
         max_frames: int = 0, verbose: bool = False, profile_dir: str = "",
-        vocabulary_path: str = ""):
+        vocabulary_path: str = "", mesh_devices: int = 0):
     """cam_name: a preset key (e.g. "TUM1") or a CameraConfig instance."""
     from ..config import CameraConfig
     from ..utils.compcache import enable_persistent_cache
@@ -75,7 +121,7 @@ def run(folder: str, association: str, cam_name, cfg: SlamConfig,
     if max_frames:
         records = records[:max_frames]
 
-    tracker = build_tracker(cam, cfg, verbose, vocabulary_path)
+    tracker = build_tracker(cam, cfg, verbose, vocabulary_path, mesh_devices)
     tracker.init()
 
     if profile_dir:
@@ -88,6 +134,7 @@ def run(folder: str, association: str, cam_name, cfg: SlamConfig,
     t_start = time.perf_counter()
     from ..data.prefetch import FramePrefetcher
     frames = FramePrefetcher(folder, records, cam, cfg.frontend)
+    update_total_s = 0.0
     with open(traj_path, "w") as traj, open(metrics_path, "w") as mf:
         it = iter(frames)
         image = next(it, None)
@@ -103,6 +150,7 @@ def run(folder: str, association: str, cam_name, cfg: SlamConfig,
             t0 = time.perf_counter()
             pose = tracker.update(image, next_frame=nxt)
             dt = time.perf_counter() - t0
+            update_total_s += dt
             traj.write(tum.pose_to_tum_line(image.timestamp, pose) + "\n")
             lc_num = 0 if tracker.graph is None else tracker.graph.lc_num
             mf.write(json.dumps({
@@ -123,7 +171,12 @@ def run(folder: str, association: str, cam_name, cfg: SlamConfig,
             os.path.join(folder, "SLAM_trajectory.txt"),
             os.path.join(folder, "loop_closure.txt"))
     stats = dict(frames=len(records), wall_s=wall,
-                 fps=len(records) / wall if wall > 0 else 0.0)
+                 fps=len(records) / wall if wall > 0 else 0.0,
+                 # wall accounting: update_total_s = every tracker.update
+                 # call (tracked frames AND inline keyframe events); the
+                 # difference to wall_s is frame IO/prefetch stalls +
+                 # startup + writers
+                 update_total_s=round(update_total_s, 2))
     # keyframe-path cost breakdown (ms per keyframe, mean/max per stage):
     # the per-frame tracking bench does not cover insert/LC/BA work
     graph = tracker.graph
@@ -138,6 +191,17 @@ def run(folder: str, association: str, cam_name, cfg: SlamConfig,
                     n=sum(1 for r in stage_rows if k in r))
             for k in keys}
         stats["keyframes"] = len(stage_rows)
+        stats["keyframe_path_total_s"] = round(
+            sum(v for r in stage_rows for v in r.values()) / 1e3, 2)
+    lc_rows = getattr(graph, "lc_stage_ms", None) or \
+        getattr(getattr(graph, "inner", None), "lc_stage_ms", None)
+    if lc_rows:
+        keys = sorted({k for row in lc_rows for k in row})
+        stats["lc_stage_ms"] = {
+            k: dict(mean=round(sum(r.get(k, 0.0) for r in lc_rows)
+                               / len(lc_rows), 2),
+                    max=round(max(r.get(k, 0.0) for r in lc_rows), 2))
+            for k in keys}
     return stats
 
 
@@ -156,7 +220,22 @@ def main(argv=None):
     ap.add_argument("--vocabulary", default="",
                     help="DBoW2 ORBvoc.txt path (default: online-grown "
                          "vocabulary, see features.bow.GrowingVocabulary)")
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="run the global backend (windowed + final BA) on "
+                         "an N-device jax.sharding.Mesh with the "
+                         "distributed solvers (SURVEY 5.8)")
+    ap.add_argument("--platform", default="",
+                    help="force a JAX platform (e.g. cpu) — jax is "
+                         "pre-imported in this image, so JAX_PLATFORMS in "
+                         "the shell is ignored; with --mesh N this also "
+                         "raises the virtual CPU device count to N")
     args = ap.parse_args(argv)
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+        if args.platform == "cpu" and args.mesh > 1:
+            jax.config.update("jax_num_cpu_devices", args.mesh)
 
     cfg = (parse_config_txt(args.config) if args.config
            else SlamConfig.default_shipped())
@@ -164,7 +243,7 @@ def main(argv=None):
         cfg = cfg.replace(OnlyTracking=True)
     stats = run(args.folder, args.association, args.camera, cfg,
                 args.max_frames, args.verbose, args.profile_dir,
-                args.vocabulary)
+                args.vocabulary, mesh_devices=args.mesh)
     print(json.dumps(stats))
 
 

@@ -64,11 +64,19 @@ class KeyframeGraph:
     def __init__(self, cam: CameraConfig, cfg: SlamConfig,
                  loop_detector: Optional[Callable] = None,
                  windowed_ba: Optional[Callable] = None,
-                 log: Optional[Callable[[str], None]] = None):
+                 log: Optional[Callable[[str], None]] = None,
+                 mesh=None, mesh_axis: str = "dp", mesh_solver: str = "pcg"):
         self.cam = cam
         self.cfg = cfg
         self.loop_detector = loop_detector
         self.windowed_ba = windowed_ba
+        # mesh-mode (SURVEY 5.8): when a jax.sharding.Mesh is provided, the
+        # final all-keyframe BA runs on the distributed edge-sharded solver
+        # (parallel.sharded_lm) instead of the single-device one; the
+        # windowed BA routes through parallel.sharded_ba via make_windowed_ba
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
+        self.mesh_solver = mesh_solver
         self._keyframes: List[Keyframe] = []
         self.edges: List[GraphEdge] = []
         self.lc_num = 0
@@ -234,8 +242,21 @@ class KeyframeGraph:
             omega=jnp.asarray(om),
             emask=jnp.asarray(np.arange(cap_e) < len(self.edges)))
         delta = self.cfg.RobustKernelDelta if self.cfg.UseRobustKernel else 0.0
-        E_opt, chi2 = lm.optimize(g, self.cfg.FinalOptimizationIterations,
-                                  robust_delta=delta)
+        if self.mesh is not None:
+            # mesh-mode final BA (keyframe_graph.cpp:1267-1431 on the
+            # distributed solver): edges sharded over the mesh axis, normal
+            # equations psum-assembled, PCG solve with one (V,6) psum per CG
+            # iteration. Equality vs the dense single-device path is
+            # asserted at solver level (tests/test_sharded_lm.py) and at
+            # pipeline level (tests/test_mesh_slam.py).
+            from ..parallel import sharded_lm
+            E_opt, chi2 = sharded_lm.optimize_sharded(
+                g, self.mesh, self.cfg.FinalOptimizationIterations,
+                robust_delta=delta, axis=self.mesh_axis,
+                solver=self.mesh_solver)
+        else:
+            E_opt, chi2 = lm.optimize(g, self.cfg.FinalOptimizationIterations,
+                                      robust_delta=delta)
         E_opt = np.asarray(E_opt, np.float64)
         for k, kf in enumerate(self._keyframes):
             if kf.id == 0:

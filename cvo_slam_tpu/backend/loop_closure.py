@@ -144,7 +144,42 @@ def make_loop_detector(cam: CameraConfig, cfg: SlamConfig, vocabulary=None):
         t.start()
         refresh_thread[0] = t
 
+    def _vmap_backend() -> str:
+        if backend == "pallas_mom":
+            return "xla"
+        if backend.startswith("pallas"):
+            return "pallas"
+        return backend
+
+    def warmup(buckets=None):
+        """Pre-compile the batched LC-verification executables for the
+        candidate-count buckets on dummy all-masked clouds (one compile per
+        bucket; meant for the startup background thread, app.run_slam).
+        Dummy clouds converge in one align iteration, so execution cost is
+        negligible — only the compile/cache-load matters."""
+        import jax.numpy as jnp
+        cap_pts = cfg.frontend.cloud_capacity
+        fixed = engine.PointCloud(
+            jnp.zeros((cap_pts, 3), jnp.float32),
+            jnp.zeros((cap_pts, 5), jnp.float32),
+            jnp.zeros(cap_pts, bool))
+        eye = np.eye(4, np.float32)
+        for b in (buckets or _LC_BUCKETS):
+            movings = engine.PointCloud(
+                jnp.zeros((b, cap_pts, 3), jnp.float32),
+                jnp.zeros((b, cap_pts, 5), jnp.float32),
+                jnp.zeros((b, cap_pts), bool))
+            engine.lc_verify_batch(
+                fixed, movings,
+                jnp.tile(jnp.eye(3, dtype=jnp.float32), (b, 1, 1)),
+                jnp.zeros((b, 3), jnp.float32),
+                jnp.full(b, cfg.cvo.ell_init, jnp.float32),
+                jnp.tile(jnp.asarray(eye), (b, 1, 1)),
+                jnp.tile(jnp.asarray(eye), (b, 1, 1)),
+                cfg.cvo, _vmap_backend())
+
     def detect(graph, reference: Keyframe):
+        import time as _time
         # lazily attach shared state to the graph
         if not hasattr(graph, "matcher"):
             graph.matcher = matcher
@@ -157,10 +192,23 @@ def make_loop_detector(cam: CameraConfig, cfg: SlamConfig, vocabulary=None):
         if len(keyframes) <= 2 or reference.bow_vec is None:
             return 0, farthest
 
+        # sub-stage costs in ms, recorded next to the keyframe stage rows
+        # (refresh = BoW re-transform join; score = BoW scoring; ransac =
+        # host ORB matching + RANSAC + landmark bookkeeping; verify = the
+        # batched device dispatch + blocking fetch)
+        sub = getattr(graph, "lc_stage_ms", None)
+        if sub is None:
+            sub = graph.lc_stage_ms = []
+        row = {}
+        sub.append(row)
+        t0 = _time.perf_counter()
+
         if refresh_thread[0] is not None:
             refresh_thread[0].join()
             refresh_thread[0] = None
         _refresh_stale(keyframes)   # no-op when prefetch already ran
+        t1 = _time.perf_counter()
+        row["refresh"] = (t1 - t0) * 1e3
 
         matcher.reset_round()
         scored = []
@@ -171,6 +219,8 @@ def make_loop_detector(cam: CameraConfig, cfg: SlamConfig, vocabulary=None):
             s = Vocabulary.score(reference.bow_vec, cand.bow_vec)
             scored.append((s, i))
         scored.sort(reverse=True)
+        t2 = _time.perf_counter()
+        row["score"] = (t2 - t1) * 1e3
 
         # phase 1 (host): ORB matching + RANSAC prior per candidate, in BoW-
         # score order (landmark/covisibility side effects are sequential in
@@ -186,6 +236,8 @@ def make_loop_detector(cam: CameraConfig, cfg: SlamConfig, vocabulary=None):
             prior = np.linalg.inv(reference.pose) @ cand.pose
             cands.append((cand, float(s), matches,
                           np.asarray(T_cr, np.float64), prior))
+        t3 = _time.perf_counter()
+        row["ransac"] = (t3 - t2) * 1e3
 
         # phase 2 (device): every candidate's CVO re-registration +
         # innerproduct suite in ONE vmapped dispatch
@@ -195,6 +247,8 @@ def make_loop_detector(cam: CameraConfig, cfg: SlamConfig, vocabulary=None):
                 cfg.cvo, backend)
         else:
             verified = []
+        row["verify"] = (_time.perf_counter() - t3) * 1e3
+        row["n_cands"] = len(cands)
 
         # phase 3 (host): accept tests + edge insertion in candidate order
         # (keyframe_graph.cpp:703-746)
@@ -235,4 +289,5 @@ def make_loop_detector(cam: CameraConfig, cfg: SlamConfig, vocabulary=None):
         return new_lc, farthest
 
     detect.prefetch = prefetch
+    detect.warmup = warmup
     return detect

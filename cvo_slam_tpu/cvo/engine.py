@@ -45,8 +45,12 @@ def default_backend() -> str:
     per iteration — the fastest measured on v5e, 0.12 ms/iter vs 0.31 XLA,
     PERF_NOTES.md round 4).
 
-    pallas_mom uses static tile predicates only (no data-dependent pl.when),
-    so the axon tunnel's re-dispatch bug (PERF_NOTES.md) does not apply."""
+    pallas_mom guards tiles with pl.when on a runtime skip-flag input, but
+    on the axon tunnel those flags are forced to constant all-ones
+    (pallas_kernels.moment_skip_enabled) — empirically safe, like the
+    legacy TILE_SKIP=0 — so the tunnel's re-dispatch bug with *changing*
+    predicate patterns (PERF_NOTES.md) is not triggered. On healthy
+    runtimes the flags enable Morton-AABB tile skipping."""
     import os
     env = os.environ.get("CVO_SLAM_BACKEND", "")
     if env in ("xla", "pallas", "pallas_iter", "pallas_mom"):

@@ -834,6 +834,26 @@ def ip_suite(x, fx, mx, y, fy, my, yt, ell, p: CvoParams):
 # moment path and 1.76 for the per-pair flow_and_step kernel (PERF_NOTES.md
 # round 4).
 
+def _on_axon_tunnel() -> bool:
+    """True when the effective JAX runtime is the axon tunnel. Checked via
+    (a) the JAX_PLATFORMS env var, (b) the effective jax_platforms config
+    (a CLI that calls jax.config.update('jax_platforms', ...) bypasses the
+    env var — the suite's --platform flag does exactly that), and (c) the
+    live PJRT client's platform_version string ('axon x.y.z ...')."""
+    import os
+    if "axon" in os.environ.get("JAX_PLATFORMS", ""):
+        return True
+    try:
+        if "axon" in (jax.config.jax_platforms or ""):
+            return True
+        dev = jax.devices()[0]
+        if "axon" in getattr(dev.client, "platform_version", ""):
+            return True
+    except Exception:  # noqa: BLE001 — no initialized backend yet
+        pass
+    return False
+
+
 def moment_skip_enabled() -> bool:
     """Spatial tile skipping for the moment kernel: CVO_SLAM_TILE_SKIP
     semantics, but FORCED OFF on the axon tunnel regardless — pallas_mom is
@@ -843,8 +863,7 @@ def moment_skip_enabled() -> bool:
     round 4) would otherwise poison every default run here. On healthy
     runtimes Morton-AABB skipping removes 41-52% of tile pairs with
     bitwise-equal results (skipped tiles contain no gated pair)."""
-    import os
-    return _TILE_SKIP and "axon" not in os.environ.get("JAX_PLATFORMS", "")
+    return _TILE_SKIP and not _on_axon_tunnel()
 
 
 def _moment_kernel(ell_ref, skip_ref, X, F, M, Y, FY, MY, U, out, s_scr,
@@ -893,9 +912,17 @@ def _moment_kernel(ell_ref, skip_ref, X, F, M, Y, FY, MY, U, out, s_scr,
                     jnp.maximum(-(d2 * inv2l2 + d2c * inv2cl2), -20.0))
                 keep = gate & (a > p.sp_thres)
                 A = jnp.where(keep, a, 0.0)
-                s_scr[:] = s_scr[:] + jnp.sum(
-                    keep.astype(jnp.float32)) * jnp.ones((8, 128),
-                                                         jnp.float32)
+                # per-(strip, tile) pair counts land in distinct scratch
+                # slots: each slot holds <= ceil(n_s/8) tile counts of
+                # <= ts^2 pairs (exact in f32 up to ~2^24 per slot, i.e.
+                # caps ~262k points at ts=512); the epilogue sums the slots
+                # in int32, keeping the nnz == XLA-path equality contract
+                # independent of total pair count
+                cnt = jnp.sum(keep.astype(jnp.float32))
+                row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+                col = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+                hot = (row == (s % 8)) & (col == (t % 128))
+                s_scr[:] = s_scr[:] + jnp.where(hot, cnt, 0.0)
                 # Mom[j, col] += sum_i A[i, j] U[i, col]: K=ts contraction
                 mom = jax.lax.dot_general(A, us, (((0,), (0,)), ((), ())),
                                           preferred_element_type=jnp.float32,
@@ -958,7 +985,7 @@ def moment_flow_step(x, y, fx, fy, mx, my, Upack, center, ell, p: CvoParams,
         scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32)],
     )(ell.reshape(1), skip, X, F, M, Y, FY, MY, Upack)
     Mom = Mom128[:, :35]
-    nnz = S[0, 0].astype(jnp.int32)
+    nnz = jnp.sum(S.astype(jnp.int32))
     return pairwise.flow_and_step_from_moments(Mom, y, center, ell, nnz, p)
 
 

@@ -121,13 +121,15 @@ def _catalog():
 
 
 def run_sequence(name: str, folder: str, cam: CameraConfig, cfg: SlamConfig,
-                 n_frames: int, gen_kwargs: dict, verbose: bool = False):
+                 n_frames: int, gen_kwargs: dict, verbose: bool = False,
+                 mesh_devices: int = 0):
     """Generate + run full SLAM + score. Returns a result dict."""
     from ..app.run_slam import run as run_slam
 
     make_sequence(folder, cam, n_frames=n_frames, **gen_kwargs)
     t0 = time.perf_counter()
-    stats = run_slam(folder, "associate.txt", cam, cfg, verbose=verbose)
+    stats = run_slam(folder, "associate.txt", cam, cfg, verbose=verbose,
+                     mesh_devices=mesh_devices)
     wall = time.perf_counter() - t0
 
     gt = ate_mod.load_tum_trajectory(os.path.join(folder, "groundtruth.txt"))
@@ -157,7 +159,7 @@ def run_sequence(name: str, folder: str, cam: CameraConfig, cfg: SlamConfig,
 
 def run_suite(out_dir: str, scale: float = 1.0, camera: str = "TUM1",
               sequences=None, cfg: SlamConfig = None, verbose: bool = False,
-              use_async: bool = False):
+              use_async: bool = False, mesh_devices: int = 0):
     cam = scaled_camera(CAMERA_PRESETS[camera], scale) if scale != 1.0 \
         else CAMERA_PRESETS[camera]
     cfg = cfg or SlamConfig.default_shipped()
@@ -175,12 +177,13 @@ def run_suite(out_dir: str, scale: float = 1.0, camera: str = "TUM1",
         n = spec["n_frames"]
         folder = os.path.join(out_dir, name)
         res = run_sequence(name, folder, cam, cfg, n, spec["kwargs"](n),
-                           verbose)
+                           verbose, mesh_devices=mesh_devices)
         results.append(res)
         print(json.dumps(res), flush=True)
     payload = dict(scale=scale, camera=camera,
                    resolution=[cam.width, cam.height],
                    config="shipped", async_backend=use_async,
+                   mesh_devices=mesh_devices,
                    results=results)
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "results.json"), "w") as f:
@@ -231,12 +234,19 @@ def main(argv=None):
     ap.add_argument("--async", dest="use_async", action="store_true",
                     help="run the backend on the async pipeline "
                          "(UseMultiThreading replacement)")
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="run the global backend on an N-device mesh with "
+                         "the distributed solvers (with --platform cpu this "
+                         "raises the virtual CPU device count to N)")
     args = ap.parse_args(argv)
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
+        if args.platform == "cpu" and args.mesh > 1:
+            jax.config.update("jax_num_cpu_devices", args.mesh)
     payload = run_suite(args.out, args.scale, args.camera, args.seq,
-                        verbose=args.verbose, use_async=args.use_async)
+                        verbose=args.verbose, use_async=args.use_async,
+                        mesh_devices=args.mesh)
     if args.results_md:
         with open(args.results_md, "w") as f:
             f.write(render_markdown(payload))

@@ -14,7 +14,7 @@ tests/test_ba.py).
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -31,10 +31,14 @@ def _pad_axis(a, n, fill=0):
 
 
 def shard_ba_problem(n_dev, L, lm_mask, p_kf, p_lm, p_meas, p_w, p_mask,
-                     ei, ej, Z, omega, pemask):
+                     ei, ej, Z, omega, pemask, bucket_edges: bool = False):
     """Partition landmarks round-robin across devices and regroup projection
     edges with their landmark's owner; pad every per-device block to a common
-    size. Returns (sharded arrays dict, landmark permutation)."""
+    size. Returns (sharded arrays dict, landmark permutation, per_dev).
+
+    bucket_edges=True pads the per-device projection-edge block to the next
+    power of two so repeated problems of the same capacity class hit the
+    cached executable (the raw max-count-per-device varies run to run)."""
     NL = L.shape[0]
     owner = np.arange(NL) % n_dev
     perm = np.argsort(owner, kind="stable")       # landmarks grouped by device
@@ -51,6 +55,11 @@ def shard_ba_problem(n_dev, L, lm_mask, p_kf, p_lm, p_meas, p_w, p_mask,
     order = np.argsort(e_owner, kind="stable")
     counts = [int(np.sum(e_owner == d)) for d in range(n_dev)]
     per_dev_e = max(max(counts), 1)
+    if bucket_edges:
+        b = 8
+        while b < per_dev_e:
+            b *= 2
+        per_dev_e = b
     pk = np.zeros((n_dev, per_dev_e), np.int32)
     pl = np.zeros((n_dev, per_dev_e), np.int32)
     pm = np.zeros((n_dev, per_dev_e, 2), np.float32)
@@ -103,7 +112,10 @@ def make_ba_optimizer(E0, free_pose, sharded, K, iterations: int,
                       solver: str = "dense"):
     """Build the reusable sharded BA step: returns (run, args) so callers
     can invoke run(E0, *args) repeatedly against one compilation (used by
-    the scaling harness, eval.scaling).
+    the scaling harness, eval.scaling, and the mesh-mode windowed BA of
+    backend.ba). Executables are cached per (mesh, shapes, iterations,
+    solver, delta) — free_pose and K are runtime inputs, so repeated
+    windows of the same capacity class reuse ONE compilation.
 
     solver='dense': assemble the full (6V)^2 reduced camera system on every
     device (one (V,V,6,6) psum per LM trial) and solve it replicated —
@@ -120,16 +132,35 @@ def make_ba_optimizer(E0, free_pose, sharded, K, iterations: int,
     preconditioner from the psummed 6x6 diagonal. Equality vs dense is
     tested in tests/test_ba.py."""
     V = E0.shape[0]
-    delta = jnp.asarray(robust_delta, jnp.float32)
+    Lsh = sharded["L"]
+    run = _cached_runner(mesh, axis, solver, int(iterations), V,
+                         Lsh.shape[1], sharded["p_kf"].shape[1],
+                         sharded["ei"].shape[1], float(robust_delta))
     fp = jnp.asarray(free_pose, jnp.float32)
+    Kj = jnp.asarray(K, jnp.float32)
+    args = [jnp.asarray(sharded[k]) for k in
+            ("L", "lm_mask", "p_kf", "p_lm", "p_meas", "p_w", "p_mask",
+             "ei", "ej", "Z", "omega", "pemask")]
+
+    def bound(E0_, *a):
+        return run(jnp.asarray(E0_, jnp.float32), fp, Kj, *a)
+
+    return bound, args
+
+
+@lru_cache(maxsize=64)
+def _cached_runner(mesh: Mesh, axis: str, solver: str, iterations: int,
+                   V: int, per_dev: int, per_dev_e: int, per_dev_pe: int,
+                   robust_delta: float):
+    delta = jnp.asarray(robust_delta, jnp.float32)
 
     sh = P(axis)
     rep = P()
 
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(rep,) + (sh,) * 12,
+             in_specs=(rep, rep, rep) + (sh,) * 12,
              out_specs=(rep, sh))
-    def run(E0, L0, lm_mask, p_kf, p_lm, p_meas, p_w, p_mask,
+    def run(E0, fp, K, L0, lm_mask, p_kf, p_lm, p_meas, p_w, p_mask,
             ei, ej, Z, omega, pemask):
         # local views: leading device axis of size 1
         L0 = L0[0]
@@ -335,7 +366,4 @@ def make_ba_optimizer(E0, free_pose, sharded, K, iterations: int,
                     jnp.array(2.0, jnp.float32)), None, length=iterations)
         return E_opt, L_opt[None]
 
-    args = [jnp.asarray(sharded[k]) for k in
-            ("L", "lm_mask", "p_kf", "p_lm", "p_meas", "p_w", "p_mask",
-             "ei", "ej", "Z", "omega", "pemask")]
-    return jax.jit(run), args
+    return jax.jit(run)

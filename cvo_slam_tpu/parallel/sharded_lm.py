@@ -136,9 +136,12 @@ def make_sharded_optimizer(g: lm.PoseGraph, mesh: Mesh, iterations: int,
     def normal_eq_local(E, ei_s, ej_s, Z_s, om_s, em_s):
         H, b, chi2 = _partial_normal_equations(E, ei_s, ej_s, Z_s, om_s, em_s,
                                                free, delta)
-        diag = jax.lax.psum(jnp.einsum("vvab->vab", H), axis)
-        return (H[None], jax.lax.psum(b, axis), diag,
-                jax.lax.psum(chi2, axis))
+        # ONE fused psum for (b, H-diag, chi2) instead of three separate
+        # collectives per outer iteration (VERDICT r4 next 5: the LM
+        # per-iteration collective diet that lifted BA to 0.96 efficiency)
+        b, diag, chi2 = jax.lax.psum(
+            (b, jnp.einsum("vvab->vab", H), chi2), axis)
+        return H[None], b, diag, chi2
 
     @partial(jax.shard_map, mesh=mesh, in_specs=(P(axis), rep),
              out_specs=rep)
@@ -191,9 +194,12 @@ def make_sharded_optimizer(g: lm.PoseGraph, mesh: Mesh, iterations: int,
 
     @jax.jit
     def run_pcg(E0):
-        def pcg_solve(Hs, diag, b, lam):
+        def pcg_solve(Hs, diag, b, lam, x0):
             """Matrix-free damped solve on the free subspace; one (V,6)
-            psum per CG iteration (inside H_matvec)."""
+            psum per CG iteration (inside H_matvec). x0 warm-starts from
+            the previous outer iteration's accepted step — near
+            convergence successive LM steps are similar, cutting CG
+            iterations (and their collectives) per solve."""
             def matvec(xv):
                 xt = xv * fm[:, None]
                 Sx = H_matvec(Hs, xt) + lam * xt
@@ -208,8 +214,9 @@ def make_sharded_optimizer(g: lm.PoseGraph, mesh: Mesh, iterations: int,
 
             tol2 = jnp.asarray(1e-10, b.dtype) * jnp.maximum(
                 jnp.sum(b * b), 1e-30)
-            x0 = jnp.zeros_like(b)
-            z0 = prec(b)
+            x0 = jnp.nan_to_num(x0) * fm[:, None]
+            r0 = b - matvec(x0) * fm[:, None]
+            z0 = prec(r0)
 
             def cg_cond(c):
                 k, _, r, _, _, _ = c
@@ -228,20 +235,23 @@ def make_sharded_optimizer(g: lm.PoseGraph, mesh: Mesh, iterations: int,
 
             _, xv, _, _, _, _ = jax.lax.while_loop(
                 cg_cond, cg_body,
-                (jnp.array(0), x0, b, z0, z0, jnp.sum(b * z0)))
+                (jnp.array(0), x0, r0, z0, z0, jnp.sum(r0 * z0)))
             return jnp.nan_to_num(xv) * fm[:, None]
 
         def outer(carry, _):
-            E, lam, ni = carry
+            E, lam, ni, dx_prev = carry
             Hs, b, diag, chi2 = normal_eq_local(E, ei, ej, Z, om, emask)
             b = b * fm[:, None]
-            lam = jnp.where(
-                lam < 0, 1e-5 * jnp.max(jnp.abs(
-                    jnp.einsum("vaa->va", diag))), lam)
+            # pinned-diagonal lambda init (fixed/masked rows read 1.0),
+            # matching the dense path / backend.lm exactly so the damping
+            # trajectories coincide from iteration 0
+            diag_pinned = jnp.einsum("vaa->va", diag) \
+                * fm[:, None] + (1.0 - fm)[:, None]
+            lam = jnp.where(lam < 0, 1e-5 * jnp.max(diag_pinned), lam)
 
             def trial_body(c2):
-                E_cur, lam, ni, done = c2
-                dx = pcg_solve(Hs, diag, b, lam)
+                E_cur, lam, ni, done, dxp = c2
+                dx = pcg_solve(Hs, diag, b, lam, dxp)
                 E_try = se3.exp_se3(dx) @ E
                 chi2_new = total_chi2(E_try, ei, ej, Z, om, emask)
                 rho = (chi2 - chi2_new) / (jnp.sum(dx * (lam * dx + b))
@@ -251,7 +261,8 @@ def make_sharded_optimizer(g: lm.PoseGraph, mesh: Mesh, iterations: int,
                     accept, lam * jnp.maximum(1 / 3, 1 - (2 * rho - 1) ** 3),
                     lam * ni)
                 ni_n = jnp.where(accept, 2.0, ni * 2.0)
-                return (jnp.where(accept, E_try, E_cur), lam_n, ni_n, accept)
+                return (jnp.where(accept, E_try, E_cur), lam_n, ni_n, accept,
+                        jnp.where(accept, dx, dxp))
 
             def trial(c2, _):
                 # `done` is replicated (derived from psummed scalars), so
@@ -260,12 +271,14 @@ def make_sharded_optimizer(g: lm.PoseGraph, mesh: Mesh, iterations: int,
                 # changed nothing)
                 return jax.lax.cond(c2[3], lambda c: c, trial_body, c2), None
 
-            (E_new, lam, ni, _), _ = jax.lax.scan(
-                trial, (E, lam, ni, jnp.array(False)), None, length=10)
-            return (E_new, lam, ni), None
+            (E_new, lam, ni, _, dx_new), _ = jax.lax.scan(
+                trial, (E, lam, ni, jnp.array(False), dx_prev), None,
+                length=10)
+            return (E_new, lam, ni, dx_new), None
 
-        (E_opt, _, _), _ = jax.lax.scan(
-            outer, (E0, jnp.array(-1.0, E0.dtype), jnp.array(2.0, E0.dtype)),
+        (E_opt, _, _, _), _ = jax.lax.scan(
+            outer, (E0, jnp.array(-1.0, E0.dtype), jnp.array(2.0, E0.dtype),
+                    jnp.zeros((V, 6), E0.dtype)),
             None, length=iterations)
         return E_opt, total_chi2(E_opt, ei, ej, Z, om, emask)
 

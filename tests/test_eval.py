@@ -156,3 +156,38 @@ def test_quality_regression_low_texture(tmp_path):
         ts, poses = tum.read_trajectory(os.path.join(folder, fname))
         rmse = tum.ate_rmse(gt_ts, gt, ts, poses)
         assert rmse < thresh, f"{fname}: ATE {rmse} >= {thresh}"
+
+
+@pytest.mark.slow
+def test_quality_regression_noisy_loop(tmp_path):
+    """End-to-end gate on the sensor-realism mode (VERDICT r4 next 7): a
+    loop circuit over a multi-surface scene with the Kinect noise model
+    (axial sigma ~ z^2, disparity quantization, edge/speckle dropout, RGB
+    read noise) through the full pipeline. Thresholds track the recorded
+    RESULTS noisy_loop numbers with >=2x headroom (full-res recorded:
+    tracking 0.0022 / SLAM 0.0014 at 640x480; at this reduced test
+    resolution the selector sees ~1/16 the pixels, so the bound is
+    proportionally looser)."""
+    from cvo_slam_tpu.config import CameraConfig, FrontendParams, SlamConfig
+    from cvo_slam_tpu.data import synthetic, tum
+    from cvo_slam_tpu.app.run_slam import run
+    from cvo_slam_tpu.eval.suite import loop_trajectory
+    import os
+
+    cam = CameraConfig(fx=130.0, fy=130.0, cx=80.0, cy=60.0,
+                       depth_factor=5000.0, width=160, height=120)
+    cfg = SlamConfig.default_shipped().replace(
+        frontend=FrontendParams(num_want=600, cloud_capacity=768),
+        FinalOptimizationIterations=50)
+    folder = str(tmp_path)
+    synthetic.make_sequence(folder, cam, n_frames=60,
+                            trajectory=loop_trajectory(60),
+                            multi_surface=True, noise=True)
+    run(folder, "associate.txt", cam, cfg)
+
+    gt_ts, gt = tum.read_trajectory(os.path.join(folder, "groundtruth.txt"))
+    for fname, thresh in (("Tracking_trajectory.txt", 0.03),
+                          ("SLAM_trajectory.txt", 0.03)):
+        ts, poses = tum.read_trajectory(os.path.join(folder, fname))
+        rmse = tum.ate_rmse(gt_ts, gt, ts, poses)
+        assert rmse < thresh, f"{fname}: ATE {rmse} >= {thresh}"
