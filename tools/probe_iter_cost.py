@@ -81,23 +81,25 @@ def main():
 
     eye3 = jnp.eye(3)
     zero3 = jnp.zeros(3)
-    out = {}
-    for variant in ("kernel", "kern+y", "kern+ep", "body"):
-        run = make(variant)
-        # compile both lengths
-        float(run(5, eye3, zero3))
-        float(run(65, eye3, zero3))
-        best = 1e9
-        for rep in range(6):
+    variants = ("kernel", "kern+y", "kern+ep", "body")
+    runs = {v: make(v) for v in variants}
+    for v in variants:           # compile both lengths
+        float(runs[v](5, eye3, zero3))
+        float(runs[v](65, eye3, zero3))
+    best = {v: 1e9 for v in variants}
+    # interleave variants within each rep so the time-shared chip's slow
+    # windows hit all variants equally; min-over-reps per variant
+    for rep in range(10):
+        for v in variants:
             t0 = time.perf_counter()
-            float(run(5, eye3, zero3))
+            float(runs[v](5, eye3, zero3))
             t1 = time.perf_counter()
-            float(run(65, eye3, zero3))
+            float(runs[v](65, eye3, zero3))
             t2 = time.perf_counter()
             ms = ((t2 - t1) - (t1 - t0)) / 60.0 * 1e3
-            best = min(best, ms)
-        out[variant] = best
-        print(f"{variant:8s} {best:.4f} ms/iter", flush=True)
+            best[v] = min(best[v], ms)
+    for v in variants:
+        print(f"{v:8s} {best[v]:.4f} ms/iter", flush=True)
 
 
 if __name__ == "__main__":
