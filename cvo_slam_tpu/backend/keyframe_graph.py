@@ -157,6 +157,8 @@ class KeyframeGraph:
             self.log("Final bundle adjustment start")
             timed("final_ba", self.bundle_adjustment_all_keyframes)
             self.log("Final bundle adjustment end")
+            if self.cfg.RefineFrameLists:
+                timed("refine_frames", self.refine_frame_lists)
 
     # -- insertNewKeyframe (keyframe_graph.cpp:1742-1798)
     def _insert_new_keyframe(self, m: LocalMap) -> Keyframe:
@@ -173,6 +175,7 @@ class KeyframeGraph:
         rels = m.optimized_relative_poses()
         for ts, rel in rels[:-1]:
             keyframe.frame_list.append(Frame(ts, rel))
+        keyframe.map_record = m.edge_record()
 
         if not self._keyframes:
             keyframe.pose = np.linalg.inv(m.estimates[0])
@@ -262,6 +265,72 @@ class KeyframeGraph:
             if kf.id == 0:
                 continue
             kf.pose = np.linalg.inv(E_opt[k])
+
+    # -- frame-list bridging (extension over the reference) ----------------
+    def refine_frame_lists(self):
+        """Re-optimize every local map with BOTH endpoint keyframes pinned
+        at their backend-optimized poses, then rebuild the frame_list
+        relative poses from the bridged solution.
+
+        The reference freezes each map's kf->frame relatives at insert time
+        (keyframe_graph.cpp:1769-1777), so when loop closures later move the
+        keyframes, intra-map frames keep any odometry slip that happened
+        inside the map — on fast-rotation sequences that leaves a whole
+        segment offset while the rest of the trajectory is corrected
+        (VERDICT r4 next 4: the one mode where the backend degraded aligned
+        ATE). Pinning both ends lets the map's own measurements + Cauchy
+        kernels decide where the correction belongs (a genuinely bad edge
+        absorbs it; consistent maps are a fixed point and stay unchanged).
+        One vmapped LM dispatch bridges all maps at once."""
+        import jax
+        from ..tracking.local_map import MAX_VERTS, MAX_EDGES
+
+        kfs = self._keyframes
+        jobs = []   # (kf, next_kf, record)
+        for k in range(len(kfs) - 1):
+            rec = kfs[k].map_record
+            if rec is None or len(rec["timestamps"]) < 3:
+                continue
+            jobs.append((kfs[k], kfs[k + 1], rec))
+        if not jobs:
+            return
+        B = _pad_to_bucket(len(jobs))
+        E = np.tile(np.eye(4, dtype=np.float32), (B, MAX_VERTS, 1, 1))
+        fixed = np.ones((B, MAX_VERTS), bool)   # padded lanes fully pinned
+        vmask = np.zeros((B, MAX_VERTS), bool)
+        ei = np.zeros((B, MAX_EDGES), np.int32)
+        ej = np.zeros((B, MAX_EDGES), np.int32)
+        Z = np.tile(np.eye(4, dtype=np.float32), (B, MAX_EDGES, 1, 1))
+        om = np.tile(np.eye(6, dtype=np.float32), (B, MAX_EDGES, 1, 1))
+        emask = np.zeros((B, MAX_EDGES), bool)
+        for b, (kf, nxt, rec) in enumerate(jobs):
+            n_v = len(rec["timestamps"])
+            E[b, 0] = np.linalg.inv(kf.pose)
+            for j, fr in enumerate(kf.frame_list):
+                E[b, 1 + j] = np.linalg.inv(kf.pose @ fr.relative_pose)
+            E[b, n_v - 1] = np.linalg.inv(nxt.pose)
+            fixed[b] = True
+            fixed[b, 1:n_v - 1] = False
+            vmask[b, :n_v] = True
+            for e, (i, j, Ze, ome) in enumerate(rec["edges"]):
+                ei[b, e], ej[b, e] = i, j
+                Z[b, e] = Ze
+                om[b, e] = ome
+                emask[b, e] = True
+        g = lm.PoseGraph(
+            E=jnp.asarray(E), fixed=jnp.asarray(fixed),
+            vmask=jnp.asarray(vmask), ei=jnp.asarray(ei), ej=jnp.asarray(ej),
+            Z=jnp.asarray(Z), omega=jnp.asarray(om),
+            emask=jnp.asarray(emask))
+        delta = self.cfg.RobustKernelDelta if self.cfg.UseRobustKernel else 0.0
+        E_opt, _ = jax.vmap(
+            lambda gb: lm.optimize(gb, self.cfg.OptimizationIterations,
+                                   robust_delta=delta))(g)
+        E_opt = np.asarray(E_opt, np.float64)
+        for b, (kf, nxt, rec) in enumerate(jobs):
+            inv_kf = np.linalg.inv(kf.pose)
+            for j, fr in enumerate(kf.frame_list):
+                fr.relative_pose = inv_kf @ np.linalg.inv(E_opt[b, 1 + j])
 
     # -- loop-closure dump rows (keyframe_tracker.cpp:258-315)
     def loop_closure_rows(self) -> List[str]:

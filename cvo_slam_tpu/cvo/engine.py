@@ -513,9 +513,15 @@ class Cvo:
         self.moving_pixels = pixels
         return True
 
+    def start_ell(self) -> float:
+        """ell the next alignment starts from: ell_init under the ell_reset
+        policy (coarse-to-fine every alignment), else the carried state
+        (reference quirk, cvo.cpp:383)."""
+        return self.params.ell_init if self.params.ell_reset else self.ell
+
     def _align(self):
         res = align(self.fixed, self.moving, self.R, self.T,
-                    np.float32(self.ell), self.params, self.backend)
+                    np.float32(self.start_ell()), self.params, self.backend)
         # one batched host transfer for all six outputs (separate np.asarray
         # calls are six blocking readbacks — ~170 ms each through a degraded
         # tunnel, see PERF_NOTES.md)
@@ -545,7 +551,7 @@ class Cvo:
         """Fused align + innerproduct: one dispatch, ONE blocking transfer.
         Returns (transform, ip dict)."""
         res, ip = align_and_innerproduct(self.fixed, self.moving, self.R,
-                                         self.T, np.float32(self.ell),
+                                         self.T, np.float32(self.start_ell()),
                                          self.params, self.backend)
         host_res, host_ip = jax.device_get((tuple(res), ip))
         return self._apply_align(*host_res), host_ip

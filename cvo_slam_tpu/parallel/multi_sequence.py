@@ -98,7 +98,7 @@ class _BatchExecutor:
         moving = _stack([c.moving for c in cvos])
         R0 = jnp.asarray(np.stack([c.R for c in cvos]))
         T0 = jnp.asarray(np.stack([c.T for c in cvos]))
-        ell0 = jnp.asarray(np.array([c.ell for c in cvos], np.float32))
+        ell0 = jnp.asarray(np.array([c.start_ell() for c in cvos], np.float32))
         res = _batched_align(fixed, moving, R0, T0, ell0, self.params,
                              self.backend)
         R, T, transform, ell, iters, nnz = jax.device_get(tuple(res))
@@ -118,7 +118,7 @@ class _BatchExecutor:
         moving = _stack([c.moving for c in cvos])
         R0 = jnp.asarray(np.stack([c.R for c in cvos]))
         T0 = jnp.asarray(np.stack([c.T for c in cvos]))
-        ell0 = jnp.asarray(np.array([c.ell for c in cvos], np.float32))
+        ell0 = jnp.asarray(np.array([c.start_ell() for c in cvos], np.float32))
         res, ip = _batched_align_ip(fixed, moving, R0, T0, ell0, self.params,
                                     self.backend)
         (R, T, transform, ell, iters, nnz), ip_host = jax.device_get(
@@ -147,10 +147,10 @@ class _BatchExecutor:
         cur = _stack([c.moving for c in odos])
         R0 = jnp.asarray(np.stack([c.R for c in odos]))
         T0 = jnp.asarray(np.stack([c.T for c in odos]))
-        ell_o = jnp.asarray(np.array([c.ell for c in odos], np.float32))
+        ell_o = jnp.asarray(np.array([c.start_ell() for c in odos], np.float32))
         ktr = jnp.asarray(np.stack([c.transform for c in kfcs]
                                    ).astype(np.float32))
-        ell_k = jnp.asarray(np.array([c.ell for c in kfcs], np.float32))
+        ell_k = jnp.asarray(np.array([c.start_ell() for c in kfcs], np.float32))
         res1, ip1, res2, ip2, _ = _batched_frame(
             prev, kf, cur, R0, T0, ell_o, ktr, ell_k, self.params,
             self.backend)
@@ -171,6 +171,8 @@ class _BatchExecutor:
         moving = _stack([c.moving for c in cvos])
         tran = jnp.asarray(np.stack([np.asarray(r[2], np.float32)
                                      for r in reqs]))
+        # NOTE: the ip pass uses the CURRENT (post-align, annealed) ell —
+        # same as the solo Cvo.compute_innerproduct — not the align start
         ell = jnp.asarray(np.array([c.ell for c in cvos], np.float32))
         out = _batched_ip(fixed, moving, tran, ell, self.params, self.backend)
         host = {k: np.asarray(v) for k, v in out.items()}

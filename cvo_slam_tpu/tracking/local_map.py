@@ -142,6 +142,16 @@ class LocalMap:
             out.append((self.timestamps[v], np.linalg.inv(pose_kf) @ pose_v))
         return out
 
+    def edge_record(self) -> dict:
+        """Compact copy of this map's graph for the post-backend frame-list
+        bridging pass (KeyframeGraph.refine_frame_lists): vertex timestamps
+        plus every edge's (i, j, measurement, information)."""
+        return dict(
+            timestamps=list(self.timestamps),
+            edges=[(i, j, np.asarray(r.transform, np.float64).copy(),
+                    np.asarray(r.information, np.float64).copy())
+                   for (i, j, r) in self.edges])
+
     def keyframe_to_next_result(self) -> TrackingResult:
         """The kf->last-frame keyframe-edge result (used as the inter-keyframe
         edge when this map completes, keyframe_graph.cpp:1753-1763)."""

@@ -78,8 +78,8 @@ def _execute_frame(odo: Cvo, kfc: Cvo, cloud, pixels):
         return _split_frame(odo, kfc)
     fut = engine.frame_step(
         odo.fixed, kfc.fixed, odo.moving, odo.R, odo.T,
-        np.float32(odo.ell), kfc.transform.astype(np.float32),
-        np.float32(kfc.ell), odo.params, odo.backend)
+        np.float32(odo.start_ell()), kfc.transform.astype(np.float32),
+        np.float32(kfc.start_ell()), odo.params, odo.backend)
     return _apply_frame(odo, kfc, fut)
 
 
@@ -140,15 +140,20 @@ class SpeculativeExecutor:
 
     def _speculation_valid(self, odo: Cvo, kfc: Cvo, cloud) -> bool:
         s = self.spec
-        return (s is not None
-                and s["prev"] is odo.fixed.positions
+        if s is None:
+            return False
+        # under the ell_reset policy every alignment starts at ell_init, so
+        # the speculative program's ell inputs match any state by
+        # construction; without it the carried ells must be unchanged
+        ells_ok = odo.params.ell_reset or (odo.ell == s["odo_ell"]
+                                           and kfc.ell == s["kf_ell"])
+        return (s["prev"] is odo.fixed.positions
                 and s["kf"] is kfc.fixed.positions
                 and s["cur"] is cloud.positions
                 and np.array_equal(odo.R, s["odo_R"])
                 and np.array_equal(odo.T, s["odo_T"])
-                and odo.ell == s["odo_ell"]
-                and np.array_equal(kfc.transform, s["kf_transform"])
-                and kfc.ell == s["kf_ell"])
+                and ells_ok
+                and np.array_equal(kfc.transform, s["kf_transform"]))
 
     def _frame(self, odo: Cvo, kfc: Cvo, cloud, pixels):
         from ..cvo import engine
@@ -175,8 +180,9 @@ class SpeculativeExecutor:
             self.misses += 1
             fut = engine.start_host_transfer(engine.frame_step(
                 odo.fixed, kfc.fixed, odo.moving, odo.R, odo.T,
-                np.float32(odo.ell), kfc.transform.astype(np.float32),
-                np.float32(kfc.ell), odo.params, odo.backend))
+                np.float32(odo.start_ell()),
+                kfc.transform.astype(np.float32),
+                np.float32(kfc.start_ell()), odo.params, odo.backend))
         res1, _, res2, _, _ = fut
 
         # speculate the next frame (accept-assumed) BEFORE blocking
@@ -184,14 +190,18 @@ class SpeculativeExecutor:
             if self._speculation_enabled() else None
         if nxt is not None:
             ncloud, _ = nxt
+            if odo.params.ell_reset:
+                ell_o = ell_k = np.float32(odo.params.ell_init)
+            else:
+                ell_o, ell_k = res1.ell, res2.ell
             # start_host_transfer: the async copies begin the moment the
             # speculative program finishes, so by the time the NEXT call
             # blocks on this future the bytes are already host-side —
             # without it every frame pays the serialized tunnel round-trip
             # (~24 ms) even though the device finished long before
             nfut = engine.start_host_transfer(engine.frame_step(
-                cloud, kfc.fixed, ncloud, res1.R, res1.T, res1.ell,
-                res2.transform, res2.ell, odo.params, odo.backend))
+                cloud, kfc.fixed, ncloud, res1.R, res1.T, ell_o,
+                res2.transform, ell_k, odo.params, odo.backend))
             self.spec = dict(fut=nfut, prev=cloud.positions,
                              kf=kfc.fixed.positions, cur=ncloud.positions)
 

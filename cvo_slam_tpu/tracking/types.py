@@ -98,3 +98,8 @@ class Keyframe:
     mappoints_id: Dict[int, int] = field(default_factory=dict)  # kp -> landmark
     best_covisible: List[int] = field(default_factory=list)
     frame_list: List[Frame] = field(default_factory=list)
+    # compact copy of this keyframe's local-map graph (edge measurements +
+    # information), kept for the post-backend frame-list bridging pass
+    # (KeyframeGraph.refine_frame_lists) — an extension over the reference,
+    # which freezes frame_list at insert time (keyframe_graph.cpp:1769-1777)
+    map_record: Optional[dict] = None
