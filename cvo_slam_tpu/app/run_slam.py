@@ -184,11 +184,17 @@ def run(folder: str, association: str, cam_name, cfg: SlamConfig,
         getattr(getattr(graph, "inner", None), "stage_ms", None)
     if stage_rows:
         keys = sorted({k for row in stage_rows for k in row})
+        # mean over the events where the stage actually ran (a stage like
+        # loop_detect fires on a subset of keyframes; dividing by all rows
+        # understated the per-event cost ~4x in the r5 records)
         stats["keyframe_path_ms"] = {
             k: dict(mean=round(sum(r.get(k, 0.0) for r in stage_rows)
-                               / len(stage_rows), 2),
+                               / max(sum(1 for r in stage_rows if k in r), 1),
+                    2),
                     max=round(max(r.get(k, 0.0) for r in stage_rows), 2),
-                    n=sum(1 for r in stage_rows if k in r))
+                    n=sum(1 for r in stage_rows if k in r),
+                    total_s=round(sum(r.get(k, 0.0)
+                                      for r in stage_rows) / 1e3, 2))
             for k in keys}
         stats["keyframes"] = len(stage_rows)
         stats["keyframe_path_total_s"] = round(

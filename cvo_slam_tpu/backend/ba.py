@@ -239,6 +239,7 @@ def _pad_bucket(n, base=8):
 _SIZE_CLASSES = (
     dict(v=16, l=512, pe=64, pr=2048),
     dict(v=64, l=2048, pe=256, pr=8192),
+    dict(v=96, l=4096, pe=512, pr=12288),
     dict(v=192, l=6144, pe=1024, pr=24576),
 )
 
@@ -313,6 +314,11 @@ def make_windowed_ba(cam: CameraConfig, cfg: SlamConfig, mesh=None,
 
         cap_v, cap_l, cap_pe, cap_pr = _select_caps(
             n_v, n_l, len(pose_edges), len(proj))
+        # raw problem sizes + selected class, for throughput diagnosis
+        if not hasattr(graph, "wba_sizes"):
+            graph.wba_sizes = []
+        graph.wba_sizes.append((n_v, n_l, len(pose_edges), len(proj),
+                                cap_v, cap_l, cap_pe, cap_pr))
 
         E = np.tile(np.eye(4, dtype=np.float32), (cap_v, 1, 1))
         for i, vid in enumerate(vert_ids):
@@ -425,7 +431,7 @@ def make_windowed_ba(cam: CameraConfig, cfg: SlamConfig, mesh=None,
             mp.position = L2[i]
             _update_normal(mp, kf_by_id)
 
-    def warmup(classes: int = 2):
+    def warmup(classes: int = 4):
         """Pre-compile the windowed-BA executables for the first `classes`
         size classes — both schedule stages (5 and OptimizationIterations)
         plus the pruning-error pass — on dummy all-masked problems, so the

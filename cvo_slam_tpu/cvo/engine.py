@@ -187,9 +187,12 @@ def align(fixed: PointCloud, moving: PointCloud, R0, T0, ell0,
     elif backend == "pallas_mom":
         # the moment kernel recomputes the color kernel in VMEM each
         # iteration (cheaper than streaming the 51 MB gated color matrix
-        # from HBM); only the fixed cloud's moment basis is hoisted
+        # from HBM); the fixed cloud's moment basis AND its packed kernel
+        # inputs are hoisted as loop constants (only positions of the
+        # moving cloud change per iteration, cvo.cpp:336)
         from . import pallas_kernels as pk
         center, Upack = pk.pack_moment_basis(x, mx)
+        packed_fixed = pk.pack_cloud(x, fx, mx)
 
     def body(carry):
         k, R, T, ell, done, iters, nnz = carry
@@ -205,7 +208,8 @@ def align(fixed: PointCloud, moving: PointCloud, R0, T0, ell0,
         elif backend == "pallas_mom":
             from . import pallas_kernels as pk
             omega, v, nnz_k, B, C, D, E = pk.moment_flow_step(
-                x, y, fx, fy, mx, my, Upack, center, ell, p)
+                x, y, fx, fy, mx, my, Upack, center, ell, p,
+                packed_fixed=packed_fixed)
         else:
             # fused moment-form pass: flow + all four step coefficients from
             # ONE A^T @ U matmul (pairwise.flow_and_step_moments) — no per-

@@ -945,7 +945,7 @@ def _moment_kernel_outer(ell_ref, skip_ref, X, F, M, Y, FY, MY, U, out_mom,
 
 @functools.partial(jax.jit, static_argnames=("p", "ts"))
 def moment_flow_step(x, y, fx, fy, mx, my, Upack, center, ell, p: CvoParams,
-                     ts: int = 0):
+                     ts: int = 0, packed_fixed=None):
     """One fused launch per align iteration: pairwise gates + kernel + the
     35-moment contraction in VMEM, then the shared XLA epilogue. Returns
     (omega, v, nnz, B, C, D, E) — same contract as pairwise.
@@ -953,10 +953,14 @@ def moment_flow_step(x, y, fx, fy, mx, my, Upack, center, ell, p: CvoParams,
     exponential differ from the XLA path by ~1 ulp).
 
     Upack: (CAP, 128) with columns 0:35 = step_moment_basis's U (zero-padded
-    to the lane width); center: the basis centroid."""
+    to the lane width); center: the basis centroid.
+    packed_fixed: optional pre-packed (X, F, M) of the fixed cloud
+    (pack_cloud) — the fixed side never changes across align iterations, so
+    the align loop hoists its pack as a loop constant."""
     cap = x.shape[0]
     ts = ts or _tn(cap, pref=512)
-    X, F, M = _pack(x, fx, mx)
+    X, F, M = packed_fixed if packed_fixed is not None \
+        else _pack(x, fx, mx)
     Y, FY, MY = _pack(y, fy, my)
     ell = jnp.asarray(ell, jnp.float32)
     if moment_skip_enabled():
@@ -997,3 +1001,9 @@ def pack_moment_basis(x, mx):
     cap = x.shape[0]
     Upack = jnp.zeros((cap, 128), jnp.float32).at[:, :35].set(U)
     return center, Upack
+
+
+def pack_cloud(x, fx, mx):
+    """Pre-packed (X, F, M) kernel inputs for a cloud that does not change
+    across align iterations (the fixed side) — hoisted by the align loop."""
+    return _pack(x, fx, mx)

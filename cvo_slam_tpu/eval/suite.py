@@ -135,8 +135,10 @@ def run_sequence(name: str, folder: str, cam: CameraConfig, cfg: SlamConfig,
     gt = ate_mod.load_tum_trajectory(os.path.join(folder, "groundtruth.txt"))
     out = dict(sequence=name, frames=n_frames, wall_s=round(wall, 2),
                fps=round(stats["fps"], 3))
-    if "keyframe_path_ms" in stats:
-        out["keyframe_path_ms"] = stats["keyframe_path_ms"]
+    for k in ("keyframe_path_ms", "keyframe_path_total_s", "update_total_s",
+              "lc_stage_ms", "keyframes"):
+        if k in stats:
+            out[k] = stats[k]
     for label, fname in (("tracking", "Tracking_trajectory.txt"),
                          ("slam", "SLAM_trajectory.txt")):
         path = os.path.join(folder, fname)

@@ -93,6 +93,132 @@ _MATCH_CHUNK = 256   # rows per distance-matrix chunk (bounds the (r, n2, 32)
                      # xor temporary to ~40 MB at 5000 candidate descriptors)
 
 
+# ---------------------------------------------------------------------------
+# device-side descriptor matching (the loop-closure host-phase hot spot)
+# ---------------------------------------------------------------------------
+# With the default online-grown vocabulary the FeatureVector bucket level
+# degenerates to the root, so match_bow brute-forces a ~5000x5000 Hamming
+# matrix per candidate — ~100 ms of host numpy per candidate and the
+# dominant cost of a loop-closure round (profiled round 5). The distance
+# matrix + per-row best-two reduction move to the accelerator
+# (lax.population_count over uint32 words); all accept logic (ratio +
+# TH_LOW gates, rotation histogram) stays on host, byte-identical.
+
+_DEV_MIN_PAIRS = 262144    # below this the dispatch round-trip wins nothing
+
+
+def _pad512(n: int) -> int:
+    return ((n + 511) // 512) * 512
+
+
+def _best_two_device_jit():
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def kernel(d1w, d2w, n2):
+        def word(acc, w):
+            x = jnp.bitwise_xor(d1w[:, w][:, None], d2w[:, w][None, :])
+            return acc + jax.lax.population_count(x).astype(jnp.int32), None
+
+        acc0 = jnp.zeros((d1w.shape[0], d2w.shape[0]), jnp.int32)
+        D, _ = jax.lax.scan(word, acc0, jnp.arange(d1w.shape[1]))
+        col = jnp.arange(D.shape[1])
+        D = jnp.where(col[None, :] < n2, D, 1 << 30)
+        idx = jnp.argmin(D, axis=1)          # first minimum, like the host scan
+        ar = jnp.arange(D.shape[0])
+        best = D[ar, idx]
+        second = jnp.min(D.at[ar, idx].set(1 << 30), axis=1)
+        return idx.astype(jnp.int32), best, second
+
+    return kernel
+
+
+_best_two_kernel = None
+
+
+def dispatch_match_bow(ref: Keyframe, cur: Keyframe, force: bool = False):
+    """Dispatch the single-bucket best-two reduction to the accelerator
+    (async copies started); returns an opaque future or None when the host
+    path should run (CPU backend, multi-bucket FeatureVectors, or a problem
+    too small to amortize the round-trip). force=True skips the
+    backend/size gates (parity tests)."""
+    import os
+    import jax
+    if os.environ.get("CVO_SLAM_DEV_MATCH", "1") == "0" and not force:
+        return None
+    if jax.default_backend() == "cpu" and not force:
+        return None
+    if not ref.feat_vec or not cur.feat_vec or ref.descriptors is None \
+            or cur.descriptors is None or len(cur.descriptors) == 0:
+        return None
+    common = sorted(set(ref.feat_vec) & set(cur.feat_vec))
+    if len(common) != 1:
+        return None
+    i1 = np.asarray(ref.feat_vec[common[0]], np.int64)
+    i2 = np.asarray(cur.feat_vec[common[0]], np.int64)
+    if len(i1) * len(i2) < _DEV_MIN_PAIRS and not force:
+        return None
+    global _best_two_kernel
+    if _best_two_kernel is None:
+        _best_two_kernel = _best_two_device_jit()
+    import jax.numpy as jnp
+    d1 = np.zeros((_pad512(len(i1)), 32), np.uint8)
+    d1[:len(i1)] = ref.descriptors[i1]
+    d2 = np.zeros((_pad512(len(i2)), 32), np.uint8)
+    d2[:len(i2)] = cur.descriptors[i2]
+    fut = _best_two_kernel(jnp.asarray(d1.view(np.uint32)),
+                           jnp.asarray(d2.view(np.uint32)),
+                           jnp.int32(len(i2)))
+    from ..cvo.engine import start_host_transfer
+    return (i1, i2, start_host_transfer(fut))
+
+
+def fetch_match_bow(fut, ref: Keyframe, cur: Keyframe, nn_ratio: float,
+                    check_orientation: bool = True):
+    """Blocking completion of dispatch_match_bow: fetch (idx, best, second)
+    and apply the SAME gates/histogram as the host match_bow."""
+    import jax
+    i1, i2, tree = fut
+    idx, best, second = (np.asarray(a, np.int64)[:len(i1)]
+                         for a in jax.device_get(tree))
+    if len(i2) == 1:
+        second = np.full(len(i1), 256, np.int64)   # host n2==1 convention
+    pairs_list, rots_list = [], []
+    _gate_node(ref, cur, i1, i2, idx, best, second, nn_ratio,
+               pairs_list, rots_list)
+    return _assemble_pairs(pairs_list, rots_list, check_orientation)
+
+
+def _gate_node(ref, cur, i1, i2, idx, best, second, nn_ratio,
+               pairs_list, rots_list):
+    """Ratio + TH_LOW gates and rotation binning for one bucket's best-two
+    results — shared by the host and device match paths."""
+    keep = (best < TH_LOW) & (best < nn_ratio * second)
+    if not keep.any():
+        return
+    r_idx = i1[keep]
+    c_idx = i2[idx[keep]]
+    pairs_list.append(np.stack([r_idx, c_idx], 1))
+    rot = (ref.kp_angle[r_idx] - cur.kp_angle[c_idx]).astype(np.float64)
+    rot = np.where(rot < 0.0, rot + 360.0, rot)
+    b = np.round(rot * (HISTO_LENGTH / 360.0)).astype(np.int64)
+    rots_list.append(np.where(b == HISTO_LENGTH, 0, b))
+
+
+def _assemble_pairs(pairs_list, rots_list, check_orientation):
+    if not pairs_list:
+        return np.zeros((0, 2), np.int64)
+    pairs = np.concatenate(pairs_list)
+    if check_orientation:
+        rots = np.concatenate(rots_list)
+        hist = np.bincount(rots, minlength=HISTO_LENGTH)
+        keep_bins = np.zeros(HISTO_LENGTH, bool)
+        keep_bins[_three_maxima(hist)] = True
+        pairs = pairs[keep_bins[rots]]
+    return pairs
+
+
 def match_bow(ref: Keyframe, cur: Keyframe, nn_ratio: float,
               check_orientation: bool = True):
     """Matched (ref_idx, cur_idx) pairs (ORBmatcher.cpp:136-257).
@@ -122,26 +248,9 @@ def match_bow(ref: Keyframe, cur: Keyframe, nn_ratio: float,
             e = min(s + _MATCH_CHUNK, len(i1))
             ix, b1, b2 = _best_two_rows(descriptor_distances(d1[s:e], d2))
             idx[s:e], best[s:e], second[s:e] = ix, b1, b2
-        keep = (best < TH_LOW) & (best < nn_ratio * second)
-        if not keep.any():
-            continue
-        r_idx = i1[keep]
-        c_idx = i2[idx[keep]]
-        pairs_list.append(np.stack([r_idx, c_idx], 1))
-        rot = (ref.kp_angle[r_idx] - cur.kp_angle[c_idx]).astype(np.float64)
-        rot = np.where(rot < 0.0, rot + 360.0, rot)
-        b = np.round(rot * (HISTO_LENGTH / 360.0)).astype(np.int64)
-        rots_list.append(np.where(b == HISTO_LENGTH, 0, b))
-    if not pairs_list:
-        return np.zeros((0, 2), np.int64)
-    pairs = np.concatenate(pairs_list)
-    if check_orientation:
-        rots = np.concatenate(rots_list)
-        hist = np.bincount(rots, minlength=HISTO_LENGTH)
-        keep_bins = np.zeros(HISTO_LENGTH, bool)
-        keep_bins[_three_maxima(hist)] = True
-        pairs = pairs[keep_bins[rots]]
-    return pairs
+        _gate_node(ref, cur, i1, i2, idx, best, second, nn_ratio,
+                   pairs_list, rots_list)
+    return _assemble_pairs(pairs_list, rots_list, check_orientation)
 
 
 def kabsch(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
@@ -328,11 +437,14 @@ class Matcher:
     # -- GetInitialTransformation (active path) ---------------------------
     def get_initial_transformation(self, reference: Keyframe, current: Keyframe,
                                    map_points: Dict[int, Mappoint],
-                                   next_mappoint_id: List[int]):
+                                   next_mappoint_id: List[int], pairs=None):
         """Returns (ok, matches, T_cr_refined). Side effects: landmark
-        creation/linking + covisibility accumulation."""
+        creation/linking + covisibility accumulation. `pairs` (optional):
+        precomputed match_bow result (the loop-closure round computes it via
+        the device match path, dispatch_match_bow/fetch_match_bow)."""
         cfg = self.cfg
-        pairs = match_bow(reference, current, cfg.LC_MatchThreshold)
+        if pairs is None:
+            pairs = match_bow(reference, current, cfg.LC_MatchThreshold)
         nmatches = len(pairs)
         if nmatches < cfg.LC_MinMatch:
             return False, 0, None

@@ -227,3 +227,30 @@ def test_stale_bow_refresh_semantics(orb_kf):
     assert voc.version > old_version
     new_v, _ = voc.transform(desc[:100])
     assert bow.Vocabulary.score(new_v, new_v) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_device_match_bow_parity():
+    """Device best-two matching (dispatch_match_bow/fetch_match_bow) must
+    reproduce the host match_bow pairs exactly, including first-minimum tie
+    semantics and the rotation-histogram filter."""
+    from cvo_slam_tpu.features.matcher import (dispatch_match_bow,
+                                               fetch_match_bow)
+    rng = np.random.default_rng(3)
+    n1, n2 = 700, 650
+    # low-entropy descriptors force plenty of distance ties
+    d1 = rng.integers(0, 4, (n1, 32)).astype(np.uint8)
+    d2 = rng.integers(0, 4, (n2, 32)).astype(np.uint8)
+
+    def kf(desc, n):
+        k = Keyframe(id=0, timestamp="0", pose=np.eye(4))
+        k.descriptors = desc
+        k.kp_angle = rng.uniform(0, 360, n)
+        k.feat_vec = {0: list(range(n))}
+        return k
+
+    ref, cur = kf(d1, n1), kf(d2, n2)
+    host = match_bow(ref, cur, 0.7)
+    fut = dispatch_match_bow(ref, cur, force=True)
+    assert fut is not None
+    dev = fetch_match_bow(fut, ref, cur, 0.7)
+    np.testing.assert_array_equal(host, dev)
