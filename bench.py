@@ -266,9 +266,15 @@ def _measure():
                         pclouds[i], pclouds[kf_idx], pclouds[i + 1],
                         R_prev, T_prev, ell_prev, kfT, ell_kf, p, backend))
                     res1, _, res2, _, _ = fut
-                    R_prev, T_prev, ell_prev = res1.R, res1.T, res1.ell
+                    R_prev, T_prev = res1.R, res1.T
+                    # ell policy mirrors the tracker: reset to ell_init per
+                    # alignment (default) or chain the annealed carry-over
+                    if p.ell_reset:
+                        ell_prev = ell_kf = ell
+                    else:
+                        ell_prev, ell_kf = res1.ell, res2.ell
                     T1_prev = res1.transform
-                    kfT, ell_kf = res2.transform, res2.ell
+                    kfT = res2.transform
                     pend.append(fut)
                 if len(pend) > D or (i >= n_fr and pend):
                     out_p = jax.device_get(pend.popleft())
