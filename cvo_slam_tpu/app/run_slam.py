@@ -85,6 +85,11 @@ def build_tracker(cam, cfg, verbose=False, vocabulary_path="",
                 loop_detector.warmup()
             if windowed_ba is not None and mesh is None:
                 windowed_ba.warmup()   # mesh mode uses the sharded solver
+            if mesh is None:
+                # final BA + frame-list bridging (unwrap the async proxy)
+                getattr(graph, "warmup",
+                        getattr(getattr(graph, "inner", None), "warmup",
+                                lambda: None))()
         except Exception:   # noqa: BLE001 — warmup is best-effort
             pass
 

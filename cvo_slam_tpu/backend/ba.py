@@ -169,8 +169,8 @@ def optimize_ba(E0, L0, free_pose, lm_mask,
         dxl = jnp.nan_to_num(dxl) * fl[:, None]
         return dxp, dxl
 
-    def outer(carry, _):
-        E, L, lam, ni = carry
+    def outer_body(carry):
+        E, L, lam, ni, conv = carry
         Hpp, Hpl, Hll, bp, bl, chi2 = normal_eq(E, L)
         diag_max = jnp.maximum(
             jnp.max(jnp.abs(jnp.einsum("vvaa->va", Hpp))),
@@ -178,7 +178,7 @@ def optimize_ba(E0, L0, free_pose, lm_mask,
         lam = jnp.where(lam < 0, 1e-5 * diag_max, lam)
 
         def trial_body(c2):
-            E_cur, L_cur, lam, ni, done = c2
+            E_cur, L_cur, lam, ni, done, chi2_cur = c2
             dxp, dxl = solve(Hpp, Hpl, Hll, bp, bl, lam)
             E_try = se3.exp_se3(dxp) @ E
             L_try = L + dxl
@@ -192,19 +192,26 @@ def optimize_ba(E0, L0, free_pose, lm_mask,
                 lam * ni)
             return (jnp.where(accept, E_try, E_cur),
                     jnp.where(accept, L_try, L_cur),
-                    lam_n, jnp.where(accept, 2.0, ni * 2.0), accept)
+                    lam_n, jnp.where(accept, 2.0, ni * 2.0), accept,
+                    jnp.where(accept, chi2_new, chi2_cur))
 
         def trial(c2, _):
             # skip post-acceptance trials (bit-exact: the skipped body was
             # a no-op that still paid the Schur solve + chi2 pass)
             return jax.lax.cond(c2[4], lambda c: c, trial_body, c2), None
 
-        (E_n, L_n, lam, ni, _), _ = jax.lax.scan(
-            trial, (E, L, lam, ni, jnp.array(False)), None, length=10)
-        return (E_n, L_n, lam, ni), None
+        (E_n, L_n, lam, ni, accepted, chi2_after), _ = jax.lax.scan(
+            trial, (E, L, lam, ni, jnp.array(False), chi2), None, length=10)
+        # convergence early-exit, same rule as backend.lm.optimize
+        conv = (~accepted) | (chi2 - chi2_after <= 1e-9 * chi2)
+        return (E_n, L_n, lam, ni, conv)
 
-    (E_opt, L_opt, _, _), _ = jax.lax.scan(
-        outer, (E0, L0, jnp.array(-1.0, E0.dtype), jnp.array(2.0, E0.dtype)),
+    def outer(carry, _):
+        return jax.lax.cond(carry[4], lambda c: c, outer_body, carry), None
+
+    (E_opt, L_opt, _, _, _), _ = jax.lax.scan(
+        outer, (E0, L0, jnp.array(-1.0, E0.dtype), jnp.array(2.0, E0.dtype),
+                jnp.array(False)),
         None, length=iterations)
     return E_opt, L_opt
 

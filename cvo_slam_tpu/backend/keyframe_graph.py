@@ -266,6 +266,44 @@ class KeyframeGraph:
                 continue
             kf.pose = np.linalg.inv(E_opt[k])
 
+    def warmup(self):
+        """Pre-compile the final-BA and frame-list-bridging executables for
+        the likely shape buckets (startup background thread, app.run_slam).
+        Shapes are data-dependent pow2 buckets; warming a small ladder
+        covers typical sequence lengths, and a miss just compiles inline as
+        before."""
+        import jax
+        from ..tracking.local_map import MAX_EDGES, MAX_VERTS
+        delta = self.cfg.RobustKernelDelta if self.cfg.UseRobustKernel else 0.0
+        for cap_v, cap_e in ((16, 64), (32, 64), (32, 128), (64, 128),
+                             (64, 256)):
+            g = lm.PoseGraph(
+                E=jnp.tile(jnp.eye(4, dtype=jnp.float32), (cap_v, 1, 1)),
+                fixed=jnp.ones(cap_v, bool), vmask=jnp.zeros(cap_v, bool),
+                ei=jnp.zeros(cap_e, jnp.int32), ej=jnp.zeros(cap_e, jnp.int32),
+                Z=jnp.tile(jnp.eye(4, dtype=jnp.float32), (cap_e, 1, 1)),
+                omega=jnp.tile(jnp.eye(6, dtype=jnp.float32), (cap_e, 1, 1)),
+                emask=jnp.zeros(cap_e, bool))
+            lm.optimize(g, self.cfg.FinalOptimizationIterations,
+                        robust_delta=delta)
+        if self.cfg.RefineFrameLists:
+            for B in (16, 32, 64):
+                g = lm.PoseGraph(
+                    E=jnp.tile(jnp.eye(4, dtype=jnp.float32),
+                               (B, MAX_VERTS, 1, 1)),
+                    fixed=jnp.ones((B, MAX_VERTS), bool),
+                    vmask=jnp.zeros((B, MAX_VERTS), bool),
+                    ei=jnp.zeros((B, MAX_EDGES), jnp.int32),
+                    ej=jnp.zeros((B, MAX_EDGES), jnp.int32),
+                    Z=jnp.tile(jnp.eye(4, dtype=jnp.float32),
+                               (B, MAX_EDGES, 1, 1)),
+                    omega=jnp.tile(jnp.eye(6, dtype=jnp.float32),
+                                   (B, MAX_EDGES, 1, 1)),
+                    emask=jnp.zeros((B, MAX_EDGES), bool))
+                jax.vmap(lambda gb: lm.optimize(
+                    gb, self.cfg.OptimizationIterations,
+                    robust_delta=delta))(g)
+
     # -- frame-list bridging (extension over the reference) ----------------
     def refine_frame_lists(self):
         """Re-optimize every local map with BOTH endpoint keyframes pinned

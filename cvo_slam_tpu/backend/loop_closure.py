@@ -135,7 +135,23 @@ def make_loop_detector(cam: CameraConfig, cfg: SlamConfig, vocabulary=None):
         vmapped batch path too. Dummy clouds converge in one align
         iteration, so execution cost is negligible — only the
         compile/cache-load matters."""
+        import jax
         import jax.numpy as jnp
+        # warm the device descriptor-match kernel at the typical padded
+        # shape (the ORB budget rounds up to the same 512 multiple for
+        # every keyframe) — its first execution otherwise stalls the first
+        # LC round on the tunnel runtime
+        if jax.default_backend() != "cpu":
+            from ..features import matcher as matcher_mod
+            n_feat = cam.orb_n_features
+            dummy = Keyframe(id=-1, timestamp="", pose=np.eye(4))
+            dummy.descriptors = np.zeros((n_feat, 32), np.uint8)
+            dummy.kp_angle = np.zeros(n_feat)
+            dummy.feat_vec = {0: list(range(n_feat))}
+            fut = matcher_mod.dispatch_match_bow(dummy, dummy, force=True)
+            if fut is not None:
+                matcher_mod.fetch_match_bow(fut, dummy, dummy,
+                                            cfg.LC_MatchThreshold)
         cap_pts = cfg.frontend.cloud_capacity
         fixed = engine.PointCloud(
             jnp.zeros((cap_pts, 3), jnp.float32),

@@ -116,15 +116,18 @@ def _best_two_device_jit():
     import jax.numpy as jnp
 
     @jax.jit
-    def kernel(d1w, d2w, n2):
+    def kernel(d1w, d2w, n1id, n2id):
         def word(acc, w):
             x = jnp.bitwise_xor(d1w[:, w][:, None], d2w[:, w][None, :])
             return acc + jax.lax.population_count(x).astype(jnp.int32), None
 
         acc0 = jnp.zeros((d1w.shape[0], d2w.shape[0]), jnp.int32)
         D, _ = jax.lax.scan(word, acc0, jnp.arange(d1w.shape[1]))
-        col = jnp.arange(D.shape[1])
-        D = jnp.where(col[None, :] < n2, D, 1 << 30)
+        # a pair is comparable only within its FeatureVector bucket: masking
+        # cross-node pairs to BIG makes the per-row best-two reduction
+        # per-node automatically (padding rows/cols carry node ids that
+        # never match)
+        D = jnp.where(n1id[:, None] == n2id[None, :], D, 1 << 30)
         idx = jnp.argmin(D, axis=1)          # first minimum, like the host scan
         ar = jnp.arange(D.shape[0])
         best = D[ar, idx]
@@ -138,11 +141,13 @@ _best_two_kernel = None
 
 
 def dispatch_match_bow(ref: Keyframe, cur: Keyframe, force: bool = False):
-    """Dispatch the single-bucket best-two reduction to the accelerator
-    (async copies started); returns an opaque future or None when the host
-    path should run (CPU backend, multi-bucket FeatureVectors, or a problem
-    too small to amortize the round-trip). force=True skips the
-    backend/size gates (parity tests)."""
+    """Dispatch the bucketed best-two reduction to the accelerator (async
+    copies started); returns an opaque future or None when the host path
+    should run (CPU backend, no common buckets, or a problem too small to
+    amortize the round-trip). Buckets are encoded as node-id masks, so ANY
+    FeatureVector structure maps to one dense masked matrix — identical
+    matches to the per-node host loop. force=True skips the backend/size
+    gates (parity tests)."""
     import os
     import jax
     if os.environ.get("CVO_SLAM_DEV_MATCH", "1") == "0" and not force:
@@ -153,23 +158,38 @@ def dispatch_match_bow(ref: Keyframe, cur: Keyframe, force: bool = False):
             or cur.descriptors is None or len(cur.descriptors) == 0:
         return None
     common = sorted(set(ref.feat_vec) & set(cur.feat_vec))
-    if len(common) != 1:
+    if not common:
         return None
-    i1 = np.asarray(ref.feat_vec[common[0]], np.int64)
-    i2 = np.asarray(cur.feat_vec[common[0]], np.int64)
-    if len(i1) * len(i2) < _DEV_MIN_PAIRS and not force:
+    i1_parts, i2_parts, n1_parts, n2_parts = [], [], [], []
+    work = 0
+    for nd, node in enumerate(common):
+        a = np.asarray(ref.feat_vec[node], np.int64)
+        b = np.asarray(cur.feat_vec[node], np.int64)
+        i1_parts.append(a)
+        i2_parts.append(b)
+        n1_parts.append(np.full(len(a), nd, np.int32))
+        n2_parts.append(np.full(len(b), nd, np.int32))
+        work += len(a) * len(b)
+    if work < _DEV_MIN_PAIRS and not force:
         return None
+    i1 = np.concatenate(i1_parts)       # node order == host loop order
+    i2 = np.concatenate(i2_parts)
     global _best_two_kernel
     if _best_two_kernel is None:
         _best_two_kernel = _best_two_device_jit()
     import jax.numpy as jnp
-    d1 = np.zeros((_pad512(len(i1)), 32), np.uint8)
+    p1, p2 = _pad512(len(i1)), _pad512(len(i2))
+    d1 = np.zeros((p1, 32), np.uint8)
     d1[:len(i1)] = ref.descriptors[i1]
-    d2 = np.zeros((_pad512(len(i2)), 32), np.uint8)
+    d2 = np.zeros((p2, 32), np.uint8)
     d2[:len(i2)] = cur.descriptors[i2]
+    n1 = np.full(p1, -1, np.int32)
+    n1[:len(i1)] = np.concatenate(n1_parts)
+    n2 = np.full(p2, -2, np.int32)
+    n2[:len(i2)] = np.concatenate(n2_parts)
     fut = _best_two_kernel(jnp.asarray(d1.view(np.uint32)),
                            jnp.asarray(d2.view(np.uint32)),
-                           jnp.int32(len(i2)))
+                           jnp.asarray(n1), jnp.asarray(n2))
     from ..cvo.engine import start_host_transfer
     return (i1, i2, start_host_transfer(fut))
 
@@ -177,13 +197,15 @@ def dispatch_match_bow(ref: Keyframe, cur: Keyframe, force: bool = False):
 def fetch_match_bow(fut, ref: Keyframe, cur: Keyframe, nn_ratio: float,
                     check_orientation: bool = True):
     """Blocking completion of dispatch_match_bow: fetch (idx, best, second)
-    and apply the SAME gates/histogram as the host match_bow."""
+    and apply the SAME gates/histogram as the host match_bow. Rows whose
+    bucket found no valid partner carry best=BIG and fail the TH_LOW gate;
+    a bucket with a single candidate descriptor carries second=BIG, which
+    gates identically to the host's second=256 convention (the ratio bound
+    0.7*256 > TH_LOW never binds)."""
     import jax
     i1, i2, tree = fut
     idx, best, second = (np.asarray(a, np.int64)[:len(i1)]
                          for a in jax.device_get(tree))
-    if len(i2) == 1:
-        second = np.full(len(i1), 256, np.int64)   # host n2==1 convention
     pairs_list, rots_list = [], []
     _gate_node(ref, cur, i1, i2, idx, best, second, nn_ratio,
                pairs_list, rots_list)

@@ -317,8 +317,8 @@ def _cached_runner(mesh: Mesh, axis: str, solver: str, iterations: int,
                 cg_cond, cg_body, (jnp.array(0), x0, r0, z0, p0, rz0))
             return xv
 
-        def outer(carry, _):
-            E, L, lam, ni = carry
+        def outer_body(carry):
+            E, L, lam, ni, conv = carry
             Hpp, Hpl, Hll, bp, bl, chi2 = normal_eq(E, L)
             # Hpp is globally reduced by normal_eq; landmark blocks are
             # complete on their owner shard (pmax suffices)
@@ -329,7 +329,7 @@ def _cached_runner(mesh: Mesh, axis: str, solver: str, iterations: int,
             lam = jnp.where(lam < 0, 1e-5 * dmax, lam)
 
             def trial_body(c2):
-                E_cur, L_cur, lam, ni, done = c2
+                E_cur, L_cur, lam, ni, done, chi2_cur = c2
                 dxp, dxl = solve(Hpp, Hpl, Hll, bp, bl, lam)
                 E_try = se3.exp_se3(dxp) @ E
                 L_try = L + dxl
@@ -345,7 +345,8 @@ def _cached_runner(mesh: Mesh, axis: str, solver: str, iterations: int,
                 ni_n = jnp.where(accept, 2.0, ni * 2.0)
                 return (jnp.where(accept, E_try, E_cur),
                         jnp.where(accept, L_try, L_cur),
-                        lam_n, ni_n, accept)
+                        lam_n, ni_n, accept,
+                        jnp.where(accept, chi2_new, chi2_cur))
 
             def trial(c2, _):
                 # once a trial accepted, the remaining scan iterations were
@@ -357,13 +358,22 @@ def _cached_runner(mesh: Mesh, axis: str, solver: str, iterations: int,
                 done = c2[4]
                 return jax.lax.cond(done, lambda c: c, trial_body, c2), None
 
-            (E_n, L_n, lam, ni, _), _ = jax.lax.scan(
-                trial, (E, L, lam, ni, jnp.array(False)), None, length=10)
-            return (E_n, L_n, lam, ni), None
+            (E_n, L_n, lam, ni, accepted, chi2_after), _ = jax.lax.scan(
+                trial, (E, L, lam, ni, jnp.array(False), chi2), None,
+                length=10)
+            # convergence early-exit, same rule as backend.ba.optimize_ba;
+            # conv derives from psummed scalars (replicated branch)
+            conv = (~accepted) | (chi2 - chi2_after <= 1e-9 * chi2)
+            return (E_n, L_n, lam, ni, conv)
 
-        (E_opt, L_opt, _, _), _ = jax.lax.scan(
+        def outer(carry, _):
+            return jax.lax.cond(carry[4], lambda c: c, outer_body,
+                                carry), None
+
+        (E_opt, L_opt, _, _, _), _ = jax.lax.scan(
             outer, (E0, L0, jnp.array(-1.0, jnp.float32),
-                    jnp.array(2.0, jnp.float32)), None, length=iterations)
+                    jnp.array(2.0, jnp.float32), jnp.array(False)),
+            None, length=iterations)
         return E_opt, L_opt[None]
 
     return jax.jit(run)

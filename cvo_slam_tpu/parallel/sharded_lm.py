@@ -160,14 +160,14 @@ def make_sharded_optimizer(g: lm.PoseGraph, mesh: Mesh, iterations: int,
             return (Hblk.transpose(0, 2, 1, 3).reshape(V * 6, V * 6),
                     b.reshape(-1))
 
-        def outer(carry, _):
-            E, lam, ni = carry
+        def outer_body(carry):
+            E, lam, ni, conv = carry
             Hb, bb, chi2 = normal_eq(E, ei, ej, Z, om, emask)
             H, b = pin(Hb, bb)
             lam = jnp.where(lam < 0, 1e-5 * jnp.max(jnp.diagonal(H)), lam)
 
             def trial(c2, _):
-                E_cur, lam, ni, done = c2
+                E_cur, lam, ni, done, chi2_cur = c2
                 dx = jnp.nan_to_num(jnp.linalg.solve(
                     H + lam * jnp.eye(V * 6, dtype=H.dtype), b))
                 E_try = se3.exp_se3(dx.reshape(V, 6) * fm[:, None]) @ E
@@ -179,14 +179,23 @@ def make_sharded_optimizer(g: lm.PoseGraph, mesh: Mesh, iterations: int,
                     lam * ni))
                 ni_next = jnp.where(done, ni, jnp.where(accept, 2.0, ni * 2.0))
                 return (jnp.where(accept, E_try, E_cur), lam_next, ni_next,
-                        done | accept), None
+                        done | accept,
+                        jnp.where(accept, chi2_new, chi2_cur)), None
 
-            (E_new, lam, ni, _), _ = jax.lax.scan(
-                trial, (E, lam, ni, jnp.array(False)), None, length=10)
-            return (E_new, lam, ni), None
+            (E_new, lam, ni, accepted, chi2_after), _ = jax.lax.scan(
+                trial, (E, lam, ni, jnp.array(False), chi2), None, length=10)
+            # convergence early-exit (same rule as backend.lm); all inputs
+            # psummed/replicated, so every device takes the same branch
+            conv = (~accepted) | (chi2 - chi2_after <= 1e-9 * chi2)
+            return (E_new, lam, ni, conv)
 
-        (E_opt, _, _), _ = jax.lax.scan(
-            outer, (E0, jnp.array(-1.0, E0.dtype), jnp.array(2.0, E0.dtype)),
+        def outer(carry, _):
+            return jax.lax.cond(carry[3], lambda c: c, outer_body,
+                                carry), None
+
+        (E_opt, _, _, _), _ = jax.lax.scan(
+            outer, (E0, jnp.array(-1.0, E0.dtype), jnp.array(2.0, E0.dtype),
+                    jnp.array(False)),
             None, length=iterations)
         return E_opt, total_chi2(E_opt, ei, ej, Z, om, emask)
 
@@ -238,8 +247,8 @@ def make_sharded_optimizer(g: lm.PoseGraph, mesh: Mesh, iterations: int,
                 (jnp.array(0), x0, r0, z0, z0, jnp.sum(r0 * z0)))
             return jnp.nan_to_num(xv) * fm[:, None]
 
-        def outer(carry, _):
-            E, lam, ni, dx_prev = carry
+        def outer_body(carry):
+            E, lam, ni, dx_prev, conv = carry
             Hs, b, diag, chi2 = normal_eq_local(E, ei, ej, Z, om, emask)
             b = b * fm[:, None]
             # pinned-diagonal lambda init (fixed/masked rows read 1.0),
@@ -250,7 +259,7 @@ def make_sharded_optimizer(g: lm.PoseGraph, mesh: Mesh, iterations: int,
             lam = jnp.where(lam < 0, 1e-5 * jnp.max(diag_pinned), lam)
 
             def trial_body(c2):
-                E_cur, lam, ni, done, dxp = c2
+                E_cur, lam, ni, done, dxp, chi2_cur = c2
                 dx = pcg_solve(Hs, diag, b, lam, dxp)
                 E_try = se3.exp_se3(dx) @ E
                 chi2_new = total_chi2(E_try, ei, ej, Z, om, emask)
@@ -262,7 +271,8 @@ def make_sharded_optimizer(g: lm.PoseGraph, mesh: Mesh, iterations: int,
                     lam * ni)
                 ni_n = jnp.where(accept, 2.0, ni * 2.0)
                 return (jnp.where(accept, E_try, E_cur), lam_n, ni_n, accept,
-                        jnp.where(accept, dx, dxp))
+                        jnp.where(accept, dx, dxp),
+                        jnp.where(accept, chi2_new, chi2_cur))
 
             def trial(c2, _):
                 # `done` is replicated (derived from psummed scalars), so
@@ -271,14 +281,21 @@ def make_sharded_optimizer(g: lm.PoseGraph, mesh: Mesh, iterations: int,
                 # changed nothing)
                 return jax.lax.cond(c2[3], lambda c: c, trial_body, c2), None
 
-            (E_new, lam, ni, _, dx_new), _ = jax.lax.scan(
-                trial, (E, lam, ni, jnp.array(False), dx_prev), None,
+            (E_new, lam, ni, accepted, dx_new, chi2_after), _ = jax.lax.scan(
+                trial, (E, lam, ni, jnp.array(False), dx_prev, chi2), None,
                 length=10)
-            return (E_new, lam, ni, dx_new), None
+            conv = (~accepted) | (chi2 - chi2_after <= 1e-9 * chi2)
+            return (E_new, lam, ni, dx_new, conv)
 
-        (E_opt, _, _, _), _ = jax.lax.scan(
+        def outer(carry, _):
+            # convergence early-exit: conv is replicated, so the skipped
+            # collectives are skipped on every device alike
+            return jax.lax.cond(carry[4], lambda c: c, outer_body,
+                                carry), None
+
+        (E_opt, _, _, _, _), _ = jax.lax.scan(
             outer, (E0, jnp.array(-1.0, E0.dtype), jnp.array(2.0, E0.dtype),
-                    jnp.zeros((V, 6), E0.dtype)),
+                    jnp.zeros((V, 6), E0.dtype), jnp.array(False)),
             None, length=iterations)
         return E_opt, total_chi2(E_opt, ei, ej, Z, om, emask)
 

@@ -241,14 +241,23 @@ def test_device_match_bow_parity():
     d1 = rng.integers(0, 4, (n1, 32)).astype(np.uint8)
     d2 = rng.integers(0, 4, (n2, 32)).astype(np.uint8)
 
-    def kf(desc, n):
+    def kf(desc, n, nodes):
         k = Keyframe(id=0, timestamp="0", pose=np.eye(4))
         k.descriptors = desc
         k.kp_angle = rng.uniform(0, 360, n)
-        k.feat_vec = {0: list(range(n))}
+        # multi-bucket FeatureVector with uneven splits; node 9 exists only
+        # on the ref side (no common partner), node 5 has a single cur
+        # descriptor (the second=256 host convention)
+        cuts = np.sort(rng.choice(np.arange(1, n), len(nodes) - 1,
+                                  replace=False))
+        parts = np.split(np.arange(n), cuts)
+        k.feat_vec = {node: parts[j].tolist()
+                      for j, node in enumerate(nodes)}
         return k
 
-    ref, cur = kf(d1, n1), kf(d2, n2)
+    ref = kf(d1, n1, [0, 2, 5, 9])
+    cur = kf(d2, n2, [0, 2, 7, 11])
+    cur.feat_vec[5] = [int(cur.feat_vec[7][0])]   # single-descriptor bucket
     host = match_bow(ref, cur, 0.7)
     fut = dispatch_match_bow(ref, cur, force=True)
     assert fut is not None
