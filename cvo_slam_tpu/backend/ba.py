@@ -78,12 +78,21 @@ def _pose_edge_terms(E, ei, ej, Z, omega, emask, delta):
     return e, Ji, Jj, w, rchi2
 
 
-@partial(jax.jit, static_argnames=("iterations",))
+@partial(jax.jit, static_argnames=("iterations", "solver"))
 def optimize_ba(E0, L0, free_pose, lm_mask,
                 ei, ej, Z, omega, pemask,
                 p_kf, p_lm, p_meas, p_w, p_mask,
-                K, iterations: int, robust_delta: float):
+                K, iterations: int, robust_delta: float,
+                solver: str = "dense"):
     """Schur-complement LM over poses (E = inverse poses) + landmarks.
+
+    solver='dense': assemble the reduced camera system S = Hpp - Hpl
+    Hll^-1 Hlp densely and solve (6V)^2 — right for small windows.
+    solver='pcg': matrix-free damped Schur solve with a block-Jacobi
+    preconditioner (the single-device form of parallel.sharded_ba's
+    distributed PCG) — the dense S assembly costs O(V^2 L) flops and
+    dominates large windows (class-L metre-scale windows measured ~1.5 s
+    per windowed BA), while the PCG matvec is O(V L) per iteration.
 
     Returns (E_opt, L_opt)."""
     V = E0.shape[0]
@@ -141,6 +150,52 @@ def optimize_ba(E0, L0, free_pose, lm_mask,
             jnp.where(p_mask, jnp.where(use, d2w * jnp.log1p(c / d2w), c), 0.0))
         return Hpp, Hpl, Hll, bp, bl, chi2
 
+    def _pcg(Hpp, Hpl, HplHinv, rhs, lam):
+        """Matrix-free damped Schur solve on the free-pose subspace (the
+        single-device form of sharded_ba._pcg_solve — same operator, same
+        block-Jacobi preconditioner, no collectives)."""
+        def matvec(xv):
+            xt = xv * fp[:, None]
+            g1 = jnp.einsum("vlac,va->lc", Hpl, xt)
+            corr = jnp.einsum("vlac,lc->va", HplHinv, g1)
+            Sx = jnp.einsum("vuab,ub->va", Hpp, xt) + lam * xt - corr
+            return Sx * fp[:, None] + xv * (1.0 - fp)[:, None]
+
+        diag_corr = jnp.einsum("vlac,vlec->vae", HplHinv, Hpl)
+        Dv = jnp.einsum("vvab->vab", Hpp) + \
+            lam * jnp.eye(6, dtype=Hpp.dtype)[None] - diag_corr
+        Dv = jnp.where(fp[:, None, None] > 0, Dv,
+                       jnp.eye(6, dtype=Hpp.dtype)[None])
+        Dinv = jnp.nan_to_num(jnp.linalg.inv(Dv))
+
+        def prec(r):
+            return jnp.einsum("vab,vb->va", Dinv, r)
+
+        tol2 = jnp.asarray(1e-10, rhs.dtype) * jnp.maximum(
+            jnp.sum(rhs * rhs), 1e-30)
+        x0 = jnp.zeros_like(rhs)
+        z0 = prec(rhs)
+
+        def cg_cond(c):
+            k, _, r, _, _, _ = c
+            return (k < 6 * V) & (jnp.sum(r * r) > tol2)
+
+        def cg_body(c):
+            k, xv, r, z, pv, rz = c
+            Ap = matvec(pv)
+            alpha = rz / jnp.maximum(jnp.sum(pv * Ap), 1e-30)
+            xv = xv + alpha * pv
+            r = r - alpha * Ap
+            z = prec(r)
+            rz_new = jnp.sum(r * z)
+            beta = rz_new / jnp.maximum(rz, 1e-30)
+            return (k + 1, xv, r, z, z + beta * pv, rz_new)
+
+        _, xv, _, _, _, _ = jax.lax.while_loop(
+            cg_cond, cg_body, (jnp.array(0), x0, rhs, z0, z0,
+                               jnp.sum(rhs * z0)))
+        return xv
+
     def solve(Hpp, Hpl, Hll, bp, bl, lam):
         # damp diagonals (g2o adds lambda to every diagonal element)
         Hll_d = Hll + lam * jnp.eye(3, dtype=Hll.dtype)[None]
@@ -149,19 +204,20 @@ def optimize_ba(E0, L0, free_pose, lm_mask,
                           jnp.eye(3, dtype=Hll.dtype)[None])
         Hll_inv = jnp.linalg.inv(Hll_d)
         bl_m = bl * fl[:, None]
-        # Schur: S = Hpp - Hpl Hll^-1 Hlp ; rhs = bp - Hpl Hll^-1 bl
         HplHinv = jnp.einsum("vlab,lbc->vlac", Hpl, Hll_inv)
-        S = Hpp - jnp.einsum("vlac,ulec->vuae", HplHinv, Hpl)
-        rhs = bp - jnp.einsum("vlac,lc->va", HplHinv, bl_m)
-        # damp + pin poses
-        S = S + lam * jnp.eye(6, dtype=S.dtype)[None, None] * \
-            jnp.eye(V, dtype=S.dtype)[:, :, None, None]
-        S = S * fp[:, None, None, None] * fp[None, :, None, None]
-        S = S.at[jnp.arange(V), jnp.arange(V)].add(
-            (1.0 - fp)[:, None, None] * jnp.eye(6, dtype=S.dtype))
-        rhs = rhs * fp[:, None]
-        Sd = S.transpose(0, 2, 1, 3).reshape(V * 6, V * 6)
-        dxp = jnp.linalg.solve(Sd, rhs.reshape(-1)).reshape(V, 6)
+        rhs = (bp - jnp.einsum("vlac,lc->va", HplHinv, bl_m)) * fp[:, None]
+        if solver == "pcg":
+            dxp = _pcg(Hpp, Hpl, HplHinv, rhs, lam)
+        else:
+            # Schur: S = Hpp - Hpl Hll^-1 Hlp, damped + pinned, dense solve
+            S = Hpp - jnp.einsum("vlac,ulec->vuae", HplHinv, Hpl)
+            S = S + lam * jnp.eye(6, dtype=S.dtype)[None, None] * \
+                jnp.eye(V, dtype=S.dtype)[:, :, None, None]
+            S = S * fp[:, None, None, None] * fp[None, :, None, None]
+            S = S.at[jnp.arange(V), jnp.arange(V)].add(
+                (1.0 - fp)[:, None, None] * jnp.eye(6, dtype=S.dtype))
+            Sd = S.transpose(0, 2, 1, 3).reshape(V * 6, V * 6)
+            dxp = jnp.linalg.solve(Sd, rhs.reshape(-1)).reshape(V, 6)
         dxp = jnp.nan_to_num(dxp) * fp[:, None]
         # back-substitute landmarks
         dxl = jnp.einsum("lbc,lc->lb", Hll_inv,
@@ -389,9 +445,14 @@ def make_windowed_ba(cam: CameraConfig, cfg: SlamConfig, mesh=None,
             args[13] = jnp.asarray(p_mask)
             return int(bad.sum())
 
+        # big windows (metre-scale maps with far-reaching loop closures) use
+        # the matrix-free PCG Schur solve: the dense S assembly is O(V^2 L)
+        # and measured ~1.5 s per windowed BA at class L
+        ba_solver = "pcg" if cap_v >= 96 else "dense"
+
         def solve_stage(iters):
             if mesh is None:
-                return optimize_ba(*args, Kj, iters, delta)
+                return optimize_ba(*args, Kj, iters, delta, solver=ba_solver)
             # mesh-mode: distributed Schur solve (parallel.sharded_ba) —
             # landmarks/projections sharded by owner, pose system psummed
             from ..parallel import sharded_ba
@@ -461,9 +522,11 @@ def make_windowed_ba(cam: CameraConfig, cfg: SlamConfig, mesh=None,
             p_meas = jnp.zeros((cap_pr, 2), jnp.float32)
             p_w = jnp.zeros(cap_pr, jnp.float32)
             p_mask = jnp.zeros(cap_pr, bool)
+            solver = "pcg" if cap_v >= 96 else "dense"
             for iters in (5, cfg.OptimizationIterations):
                 optimize_ba(E, L, free, lmm, ei, ei, Z, om, pem,
-                            p_kf, p_kf, p_meas, p_w, p_mask, Kj, iters, delta)
+                            p_kf, p_kf, p_meas, p_w, p_mask, Kj, iters, delta,
+                            solver=solver)
             projection_errors(E, L, p_kf, p_kf, p_meas, Kj)
 
     windowed_ba.warmup = warmup

@@ -151,3 +151,19 @@ def test_sharded_ba_pcg_matches_dense():
         Ep, Lp = results[(n_dev, "pcg")]
         np.testing.assert_allclose(Ed, Ep, rtol=1e-3, atol=1e-4)
         np.testing.assert_allclose(Ld, Lp, rtol=1e-3, atol=1e-3)
+
+
+def test_ba_pcg_matches_dense_single_device():
+    """Single-device matrix-free PCG Schur solve (optimize_ba solver='pcg',
+    used for large windowed-BA classes) must track the dense path."""
+    args, E_true, lms = make_problem(seed=3)
+    common = (args["E0"], args["L0"], args["free_pose"], args["lm_mask"],
+              args["ei"], args["ej"], args["Z"], args["omega"],
+              args["pemask"], args["p_kf"], args["p_lm"], args["p_meas"],
+              args["p_w"], args["p_mask"], jnp.asarray(K))
+    Ed, Ld = ba.optimize_ba(*common, 10, 2.0, solver="dense")
+    Ep, Lp = ba.optimize_ba(*common, 10, 2.0, solver="pcg")
+    np.testing.assert_allclose(np.asarray(Ed), np.asarray(Ep),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(Ld), np.asarray(Lp),
+                               rtol=1e-3, atol=1e-3)
